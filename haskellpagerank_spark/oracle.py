@@ -1,0 +1,282 @@
+"""NumPy oracle reproducing the reference engine's exact semantics.
+
+This is the test oracle for the Spark engine: a direct, sequential,
+~vectorized reimplementation of the reference algorithms, used to produce
+per-vertex golden values (allclose 1e-6) on the fixture graphs.
+
+Reference citations (all under /root/reference):
+- parse / dense ids / self-loop drop: internalutil/Data/Graph/EdgeArray.hs:69-89,145-152
+- amendSinks (sink edge reflection):  internalutil/Data/Graph/EdgeArray.hs:103-116
+- Jacobi PageRank ("pagerankS"):      pagerank/Data/Graph/PageRankStep.hs:22-110
+- Gauss-Seidel PageRank ("pagerank"): pagerank/Data/Graph/PageRank.hs:23-107
+- mex / findSmallestPossibleColor:    graphcoloring/Data/Graph/GraphColoring.hs:229-241
+- greedy coloring:                    graphcoloring/Data/Graph/GraphColoring.hs:338-348
+- Jones-Plassmann:                    graphcoloring/Data/Graph/GraphColoring.hs:277-317
+- distance-2 coloring:                graphcoloring/Data/Graph/GraphColoring.hs:351-364
+
+NOT copied code: the reference is Haskell over mutable unboxed vectors; this
+is an independent NumPy/Python expression of the same math.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+Edges = list[tuple[int, int]]
+
+
+# ---------------------------------------------------------------- parsing
+
+def parse_edges(pairs: Edges) -> tuple[np.ndarray, np.ndarray, int]:
+    """Self-loop drop + dense 0..max(id) vertex space.
+
+    Returns (src, dst, num_vertices). Duplicate edges are KEPT (they count
+    multiply in degrees and rank sums — EdgeArray.hs:78-89 does not dedup).
+    """
+    if not pairs:
+        return np.empty(0, np.int64), np.empty(0, np.int64), 0
+    arr = np.asarray(pairs, dtype=np.int64)
+    n = int(arr.max()) + 1
+    keep = arr[:, 0] != arr[:, 1]
+    return arr[keep, 0], arr[keep, 1], n
+
+
+def out_degrees(src: np.ndarray, n: int) -> np.ndarray:
+    return np.bincount(src, minlength=n).astype(np.int64)
+
+
+def amend_sinks(src: np.ndarray, dst: np.ndarray, n: int
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """For every sink s (outdeg 0): add edge s->u for each in-edge u->s.
+
+    Multiplicity preserved: each incoming edge instance reflects to one
+    outgoing edge instance (EdgeArray.hs:108-116 copies the full in-list).
+    Isolated vertices (no in-edges either) stay isolated.
+    """
+    deg = out_degrees(src, n)
+    is_sink = deg == 0
+    refl = is_sink[dst]  # edge u->s with s sink reflects to s->u
+    return (np.concatenate([src, dst[refl]]),
+            np.concatenate([dst, src[refl]]))
+
+
+# ---------------------------------------------------------------- pagerank
+
+def _jacobi_step(x, src, dst, outdeg, n, d, dconst):
+    contrib = np.zeros(n)
+    np.add.at(contrib, dst, x[src] / outdeg[src])
+    new = dconst + d * contrib
+    new[outdeg == 0] = 0.0  # isolated vertices pinned to 0 (PageRank.hs:35)
+    return new
+
+
+def pagerank_jacobi(src, dst, n, damping=0.15, eps=1e-4, init=1.0,
+                    num_iters=0, max_iters=100000):
+    """Reference Jacobi semantics (PageRankStep.hs).
+
+    ``damping`` multiplies the link sum: new = (1-d)/n_nonsink + d * sum,
+    with the reference's unusual default d=0.15 (InternalPageRank.hs:23-24).
+    Convergence mode (num_iters=0) stops when no vertex moved by > eps and
+    returns the PREVIOUS buffer (PageRankStep.hs:90) — the iterate before the
+    last computed sweep. num_iters=k returns exactly the k-th sweep.
+    """
+    outdeg = out_degrees(src, n)
+    n_nonsink = int((outdeg > 0).sum())
+    dconst = (1.0 - damping) / n_nonsink if n_nonsink else 0.0
+    x = np.full(n, float(init))
+    if num_iters > 0:
+        for _ in range(num_iters):
+            x = _jacobi_step(x, src, dst, outdeg, n, damping, dconst)
+        return x
+    for _ in range(max_iters):
+        new = _jacobi_step(x, src, dst, outdeg, n, damping, dconst)
+        if np.max(np.abs(new - x)) <= eps:
+            return x  # previous buffer (PageRankStep.hs:90)
+        x = new
+    raise RuntimeError("pagerank_jacobi did not converge")
+
+
+def pagerank_gauss_seidel(src, dst, n, damping=0.15, eps=1e-4, init=1.0,
+                          num_iters=0, max_iters=100000):
+    """Reference async/sequential semantics (PageRank.hs, single-thread path).
+
+    In-place sweep in vertex-id order over the in-adjacency; returns the
+    array AFTER the converging sweep (single buffer, PageRank.hs:105).
+    """
+    outdeg = out_degrees(src, n)
+    n_nonsink = int((outdeg > 0).sum())
+    dconst = (1.0 - damping) / n_nonsink if n_nonsink else 0.0
+    # in-adjacency: for vertex v, the list of u with edge u->v
+    order = np.argsort(dst, kind="stable")
+    in_src, in_dst = src[order], dst[order]
+    starts = np.searchsorted(in_dst, np.arange(n))
+    ends = np.searchsorted(in_dst, np.arange(n), side="right")
+    x = np.full(n, float(init))
+
+    def sweep() -> bool:
+        above = False
+        for v in range(n):
+            old = x[v]
+            if outdeg[v] == 0:
+                x[v] = 0.0
+            else:
+                nbrs = in_src[starts[v]:ends[v]]
+                x[v] = dconst + damping * float(np.sum(x[nbrs] / outdeg[nbrs]))
+            if abs(old - x[v]) > eps:
+                above = True
+        return above
+
+    if num_iters > 0:
+        for _ in range(num_iters):
+            sweep()
+        return x
+    for _ in range(max_iters):
+        if not sweep():
+            return x
+    raise RuntimeError("pagerank_gauss_seidel did not converge")
+
+
+def pagerank_redistribute(src, dst, n, damping=0.85, eps=1e-6, init=None,
+                          num_iters=0, max_iters=100000):
+    """Web-scale-mode oracle: standard dangling-mass redistribution.
+
+    new[v] = (1-d)/N + d * (sum_in contrib + dangling_mass/N) for ALL v.
+    No reference analogue (the reference rewires edges instead); this is the
+    BASELINE.json north-star formulation with damping 0.85.
+    """
+    outdeg = out_degrees(src, n)
+    x = np.full(n, 1.0 / n if init is None else float(init))
+    for it in range(max_iters):
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, x[src] / np.maximum(outdeg[src], 1))
+        dangling = float(x[outdeg == 0].sum())
+        new = (1.0 - damping) / n + damping * (contrib + dangling / n)
+        done = np.abs(new - x).sum() <= eps
+        x = new
+        if num_iters > 0:
+            if it + 1 == num_iters:
+                return x
+        elif done:
+            return x
+    raise RuntimeError("pagerank_redistribute did not converge")
+
+
+# ---------------------------------------------------------------- coloring
+
+def mex(colors) -> int:
+    """Smallest color >= 1 not present (GraphColoring.hs:229-241)."""
+    s = set(int(c) for c in colors)
+    c = 1
+    while c in s:
+        c += 1
+    return c
+
+
+def _both_dir_adj(src, dst, n) -> list[list[int]]:
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for s, d in zip(src.tolist(), dst.tolist()):
+        adj[s].append(d)
+        adj[d].append(s)
+    return adj
+
+
+def greedy_coloring(src, dst, n) -> list[int]:
+    """graphColoringGreedyInputOrder: id order, mex over already-colored
+    neighbors in BOTH directions (GraphColoring.hs:338-348)."""
+    adj = _both_dir_adj(src, dst, n)
+    colors = [0] * n
+    for v in range(n):
+        colors[v] = mex(colors[u] for u in adj[v] if u < v)
+    return colors
+
+
+def jones_plassmann(src, dst, n, priorities) -> list[int]:
+    """JP fixed point: color v = mex over predecessors, where u precedes v
+    iff (rand[u], u) < (rand[v], v) lexicographically (GraphColoring.hs:291-296).
+    The schedule-independent fixed point of color5's DFS (unique on a DAG).
+    """
+    pri = list(priorities)
+    adj = _both_dir_adj(src, dst, n)
+    order = sorted(range(n), key=lambda v: (pri[v], v))
+    colors = [0] * n
+    for v in order:
+        preds = [u for u in adj[v] if (pri[u], u) < (pri[v], v)]
+        colors[v] = mex(colors[u] for u in preds)
+    return colors
+
+
+def distance2_coloring(src, dst, n) -> list[int]:
+    """graphColoring2Distance over the merged (undirected, deduped) graph:
+    id order, mex over colored vertices at distance 1 or 2
+    (GraphColoring.hs:351-364; merged graph per TestGraphColoring2Dist.hs:20).
+    """
+    adj = [sorted(set(nbrs)) for nbrs in _both_dir_adj(src, dst, n)]
+    colors = [0] * n
+    for v in range(n):
+        near = set(adj[v])
+        for u in adj[v]:
+            near.update(adj[u])
+        near.discard(v)
+        colors[v] = mex(colors[u] for u in near if u < v)
+    return colors
+
+
+# ------------------------------------------------ components / triangles / lp
+
+def connected_components(src, dst, n) -> list[int]:
+    """Undirected CC; component label = min vertex id in the component."""
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for s, d in zip(src.tolist(), dst.tolist()):
+        ra, rb = find(s), find(d)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return [find(v) for v in range(n)]
+
+
+def triangle_count(src, dst, n) -> int:
+    """Global triangle count over the undirected simple graph."""
+    nbrs = [set() for _ in range(n)]
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    count = 0
+    for v in range(n):
+        higher = [u for u in nbrs[v] if u > v]
+        for i, a in enumerate(higher):
+            for b in higher[i + 1:]:
+                if b in nbrs[a]:
+                    count += 1
+    return count
+
+
+def label_propagation(src, dst, n, num_iters=5) -> list[int]:
+    """Synchronous LP over the undirected simple graph, deterministic:
+    new label = most frequent neighbor label, ties -> smallest label;
+    isolated vertices keep their own label. Labels init to vertex id."""
+    nbrs = [sorted(set(u for u in a if u != v))
+            for v, a in enumerate(_both_dir_adj(src, dst, n))]
+    labels = list(range(n))
+    for _ in range(num_iters):
+        new = list(labels)
+        for v in range(n):
+            if not nbrs[v]:
+                continue
+            counts: dict[int, int] = {}
+            for u in nbrs[v]:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            new[v] = min(
+                (lbl for lbl in counts),
+                key=lambda l: (-counts[l], l),
+            )
+        if new == labels:
+            break
+        labels = new
+    return labels
