@@ -1,0 +1,191 @@
+"""Connected components and label propagation — iterative superstep kernels.
+
+Both reuse the engine's superstep skeleton (join + agg + localCheckpoint +
+driver-side convergence scalar), the same shape as PageRank
+(operators/pagerank.py) and the reference's prism activation loop
+(graphcoloring/Data/Graph/Prism.hs:299-317 — frontier-driven recompute).
+The reference itself has no CC/LP; they are north-rule scope
+(BASELINE.json: "connected components (iterative min-label hash-partitioned
+propagation), label propagation").
+
+Scale design:
+- the undirected simple edge set is computed once, hash-partitioned by src,
+  and persisted — each iteration shuffles only the |V|-row label table;
+- min-label propagation uses a **frontier**: after the first sweep only
+  vertices whose label changed last round send messages (semi-naive
+  evaluation, the prism pattern) — on web graphs the active set collapses
+  after a few rounds while the diameter tail keeps running;
+- map-side partial aggregation (min/count per dst per partition) bounds the
+  shuffle at <= |V| rows per partition regardless of skew; AQE splits any
+  residual skewed reduce partition.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..plans.checkpoint import CheckpointManager, IterationMetrics
+from .graph import Graph, invert
+
+
+@dataclass
+class IterativeResult:
+    df: DataFrame
+    iterations: int
+    metrics: list[IterationMetrics] = field(default_factory=list)
+
+
+def _undirected_simple(g: Graph, shuffle_p: int) -> DataFrame:
+    return (
+        g.edges.unionAll(invert(g.edges))
+        .dropDuplicates(["src", "dst"])
+        .repartition(shuffle_p, "src")
+    )
+
+
+def connected_components(
+    g: Graph,
+    max_iters: int = 200,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+) -> IterativeResult:
+    """Undirected CC by iterative min-label propagation with a change
+    frontier. Returns (id, component) where component = min vertex id in the
+    component — the invariant the tests assert (SURVEY.md §5.3).
+    """
+    spark = g.spark
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    edges = _undirected_simple(g, shuffle_p).persist()
+    n_und_edges = edges.count()
+
+    labels = g.vertices().select("id", F.col("id").alias("component"))
+    labels = labels.repartition(shuffle_p, "id").localCheckpoint(eager=True)
+    # frontier: vertices whose label changed last round (all, initially)
+    frontier = labels
+    ckpt = CheckpointManager(checkpoint_dir, checkpoint_interval)
+    resumed = ckpt.resume(spark) if checkpoint_dir else None
+    start_iter = 0
+    if resumed is not None:
+        labels = resumed[0].repartition(shuffle_p, "id").localCheckpoint(eager=True)
+        frontier = labels  # conservative: full resend after resume
+        start_iter = resumed[1]
+
+    metrics: list[IterationMetrics] = []
+    it = start_iter
+    while it < max_iters:
+        it += 1
+        t0 = time.monotonic()
+        # candidate labels pushed from last round's changed vertices only
+        msgs = (
+            edges.join(frontier.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("cand"))
+        )
+        new_labels = (
+            labels.join(msgs, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce("cand", F.col("component")))
+                .alias("component"),
+                (F.coalesce("cand", F.lit(2**62)) < F.col("component"))
+                .alias("_changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=False)
+        n_changed = new_labels.where("_changed").count()
+        frontier = new_labels.where("_changed").select("id", "component")
+        new_labels = new_labels.select("id", "component")
+        m = IterationMetrics(
+            iteration=it, l1_residual=float(n_changed),
+            linf_residual=float(1 if n_changed else 0),
+            rows_shuffled=n_und_edges, wall_s=time.monotonic() - t0,
+            extra={"changed": n_changed},
+        )
+        metrics.append(m)
+        ckpt.write(new_labels, m)
+        labels = new_labels
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return IterativeResult(df=labels, iterations=it, metrics=metrics)
+
+
+def label_propagation(
+    g: Graph,
+    num_iters: int = 5,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+) -> IterativeResult:
+    """Synchronous community label propagation, fully deterministic.
+
+    Labels init to vertex id; each round every vertex adopts the most
+    frequent label among its (undirected, deduped) neighbors, ties broken by
+    the smallest label; isolated vertices keep their own label. Early-stops
+    when no label changed. Matches oracle.label_propagation exactly.
+
+    The mode aggregation is two Catalyst-native stages: count per (dst,
+    label), then a max_by-style reduce per dst — no Python in the loop.
+    """
+    spark = g.spark
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    edges = _undirected_simple(g, shuffle_p).persist()
+    n_und_edges = edges.count()
+
+    labels = g.vertices().select("id", F.col("id").alias("label"))
+    labels = labels.repartition(shuffle_p, "id").localCheckpoint(eager=True)
+    ckpt = CheckpointManager(checkpoint_dir, checkpoint_interval)
+    resumed = ckpt.resume(spark) if checkpoint_dir else None
+    start_iter = 0
+    if resumed is not None:
+        labels = resumed[0].repartition(shuffle_p, "id").localCheckpoint(eager=True)
+        start_iter = resumed[1]
+
+    metrics: list[IterationMetrics] = []
+    it = start_iter
+    while it < num_iters:
+        it += 1
+        t0 = time.monotonic()
+        counts = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # mode with deterministic tie-break: max count, then min label —
+        # a single max_by over a sortable (cnt, -label) struct
+        winner = (
+            counts.groupBy("id")
+            .agg(
+                F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg")))
+                .alias("w")
+            )
+            .select("id", (-F.col("w.neg")).alias("new_label"))
+        )
+        new_labels = (
+            labels.join(winner, "id", "left")
+            .select(
+                "id",
+                F.coalesce("new_label", F.col("label")).alias("label"),
+                (F.coalesce("new_label", F.col("label")) != F.col("label"))
+                .alias("_changed"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        n_changed = new_labels.where("_changed").count()
+        new_labels = new_labels.select("id", "label")
+        m = IterationMetrics(
+            iteration=it, l1_residual=float(n_changed),
+            linf_residual=float(1 if n_changed else 0),
+            rows_shuffled=n_und_edges, wall_s=time.monotonic() - t0,
+            extra={"changed": n_changed},
+        )
+        metrics.append(m)
+        ckpt.write(new_labels, m)
+        labels = new_labels
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return IterativeResult(df=labels, iterations=it, metrics=metrics)

@@ -1,0 +1,86 @@
+"""Triangle counting — one-shot 2-hop join + closure semi-join.
+
+North-rule scope (no reference analogue; the reference's nearest relative is
+the 2-distance neighborhood self-join, GraphColoring.hs:358-363 →
+SURVEY.md §2.3). Standard distributed recipe:
+
+1. canonicalize the undirected simple graph to src < dst (each unordered
+   pair once);
+2. orient every edge low-degree -> high-degree ("degree ordering") so the
+   2-hop expansion fans out from the *smaller* adjacency side — this is the
+   classic guard against quadratic blowup on hub vertices at web scale
+   (a hub of degree 10^6 contributes pairs only through its lower-degree
+   neighbors);
+3. wedges = oriented ⋈ oriented on the middle vertex; triangles = wedges
+   semi-joined against the oriented closure edge.
+
+All joins are Catalyst equi-joins (sort-merge / shuffled-hash with AQE);
+counting is a plain agg. No Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .graph import Graph, undirected_simple_edges
+
+
+def _degree_oriented(g: Graph) -> DataFrame:
+    """Undirected simple edges oriented from lower (degree, id) to higher —
+    a strict total order, so the oriented graph is acyclic."""
+    und = undirected_simple_edges(g)  # both directions, deduped
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    e = (
+        und.join(deg.withColumnRenamed("id", "src")
+                 .withColumnRenamed("deg", "sdeg"), "src")
+        .join(deg.withColumnRenamed("id", "dst")
+              .withColumnRenamed("deg", "ddeg"), "dst")
+    )
+    return e.where(
+        (F.col("sdeg") < F.col("ddeg"))
+        | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
+    ).select("src", "dst")
+
+
+def triangles(g: Graph) -> DataFrame:
+    """All triangles as (a, b, c) vertex triples, each exactly once
+    (a, b, c in degree-order orientation)."""
+    e = _degree_oriented(g)
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
+        F.col("e1.src").alias("a"),
+        F.col("e1.dst").alias("b"),
+        F.col("e2.dst").alias("c"),
+    )
+    return wedges.join(
+        e3,
+        (F.col("a") == F.col("e3.src")) & (F.col("c") == F.col("e3.dst")),
+        "left_semi",
+    )
+
+
+def triangle_count(g: Graph) -> DataFrame:
+    """Single-row (n_triangles long)."""
+    return triangles(g).agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def triangles_per_vertex(g: Graph) -> DataFrame:
+    """(id, n_triangles) for every vertex in the dense space (0 for
+    triangle-free vertices) — local clustering numerator."""
+    t = triangles(g)
+    stacked = (
+        t.select(F.col("a").alias("id"))
+        .unionAll(t.select(F.col("b").alias("id")))
+        .unionAll(t.select(F.col("c").alias("id")))
+    )
+    per = stacked.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        g.vertices()
+        .join(per, "id", "left")
+        .select("id", F.coalesce("n", F.lit(0)).alias("n_triangles"))
+    )
