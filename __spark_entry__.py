@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship query: full M0->M1 pipeline (deterministic
+                 Common-Crawl-style pages -> vectorized href extraction ->
+                 dictionary encoding -> distributed PageRank -> top pages),
+                 plus the sf0.001 cs-link-graph ranks joined in.
+queries()      — one entry per implemented operator (SURVEY.md §2 + the
+                 training-data-pipeline family); see
+                 haskellpagerank_spark/queries.py.
+oracle_sql()   — DuckDB twins for every SQL-expressible query; hash-exact
+                 (identical aliases + identical rounding on both sides).
 """
 
 from __future__ import annotations
@@ -12,27 +16,29 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from haskellpagerank_spark.queries import ORACLES, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank top-20 over the sf0.001 customer->supplier link
+    graph (dense-id contract, redistribute sink mode, damping 0.85)."""
+    from haskellpagerank_spark.operators.pagerank import (
+        PageRankConfig, run_pagerank, top_k)
+    from haskellpagerank_spark.sources.tpch_graph import cs_graph
+
+    g = cs_graph(spark, "/root/testdata/sf0.001")
+    res = run_pagerank(g, PageRankConfig(
+        damping=0.85, tol=1e-6, tol_norm="l1", sink_mode="redistribute",
+        max_iters=100))
+    return top_k(res.ranks, 20).select(
+        "id", F.round("rank", 8).alias("rank"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline kernels at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "pagerank_edges_per_sec", "value": N, "unit": "edges/sec",
+     "queries": {"q1": sec, ...}, "sf": ..., ...}
+
+The headline metric follows BASELINE.json: PageRank edges-processed/sec
+(edge-instances x iterations / wall seconds) to L1 residual < 1e-6 on the
+customer->supplier link graph. Scaling-efficiency evidence (local[8] vs
+local[32]) is produced by scripts/scaling_bench.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from haskellpagerank_spark.operators.components import (  # noqa: E402
+    connected_components, label_propagation)
+from haskellpagerank_spark.operators.pagerank import (  # noqa: E402
+    PageRankConfig, run_pagerank)
+from haskellpagerank_spark.operators.triangles import triangle_count  # noqa: E402
+from haskellpagerank_spark.session import get_spark  # noqa: E402
+from haskellpagerank_spark.sources.tpch_graph import cs_graph  # noqa: E402
+
+
+def _consume(df) -> int:
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1
+    spark = get_spark(app_name="hpr-bench", cores=cpus,
+                      shuffle_partitions=cpus)
+
+    queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # -- headline: PageRank to convergence (L1 < 1e-6) on the cs link graph
+    g = cs_graph(spark, sf_dir)
+    g = g.with_edges(g.edges.persist())
+    n_edges = g.edges.count()
+    t0 = time.monotonic()
+    res = run_pagerank(g, PageRankConfig(
+        damping=0.85, tol=1e-6, tol_norm="l1", sink_mode="redistribute",
+        max_iters=100))
+    _consume(res.ranks)
+    dt = time.monotonic() - t0
+    queries["pagerank_conv"] = round(dt, 3)
+    edges_per_sec = n_edges * res.iterations / dt
+    extra["pagerank_iterations"] = res.iterations
+    extra["pagerank_l1_final"] = res.metrics[-1].l1_residual
+    extra["n_edges"] = n_edges
+
+    # -- PageRank fixed 5 sweeps (the reference benchmark protocol,
+    #    MainBench.hs:26-27)
+    t0 = time.monotonic()
+    res5 = run_pagerank(g, PageRankConfig(
+        damping=0.85, num_iters=5, sink_mode="redistribute"))
+    _consume(res5.ranks)
+    queries["pagerank_5iter"] = round(time.monotonic() - t0, 3)
+
+    # -- connected components on the cs graph
+    t0 = time.monotonic()
+    cc = connected_components(g)
+    _consume(cc.df)
+    queries["connected_components"] = round(time.monotonic() - t0, 3)
+
+    # -- label propagation, 5 sweeps
+    t0 = time.monotonic()
+    lp = label_propagation(g, num_iters=5)
+    _consume(lp.df)
+    queries["label_propagation_5"] = round(time.monotonic() - t0, 3)
+
+    # -- triangles on the nation trade graph
+    from haskellpagerank_spark.queries import nation_trade_graph
+    t0 = time.monotonic()
+    _consume(triangle_count(nation_trade_graph(spark, sf_dir)))
+    queries["triangles_nation"] = round(time.monotonic() - t0, 3)
+
+    # -- M0 pages pipeline: generate -> extract -> encode -> 5 PR sweeps
+    from haskellpagerank_spark.sources.pages import build_graph, generate_pages
+    t0 = time.monotonic()
+    pages = generate_pages(spark, num_pages=50_000, seed=42, avg_links=8)
+    pg, _ = build_graph(pages)
+    pg = pg.with_edges(pg.edges.persist())
+    n_page_edges = pg.edges.count()
+    t_extract = time.monotonic() - t0
+    pr = run_pagerank(pg, PageRankConfig(
+        damping=0.85, num_iters=5, sink_mode="redistribute"))
+    _consume(pr.ranks)
+    queries["pages_extract_encode"] = round(t_extract, 3)
+    queries["pages_pagerank_5"] = round(time.monotonic() - t0 - t_extract, 3)
+    extra["pages_n_edges"] = n_page_edges
+
+    # -- dedup: MinHash-LSH near-dup pairs over documents
+    from haskellpagerank_spark.functions.dedup import minhash_lsh_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.monotonic()
+    _consume(minhash_lsh_pairs(docs, threshold=0.5))
+    queries["minhash_lsh_documents"] = round(time.monotonic() - t0, 3)
+
+    # -- similarity: LSH ANN pairs over embeddings
+    from haskellpagerank_spark.functions.similarity import ann_lsh_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t0 = time.monotonic()
+    _consume(ann_lsh_pairs(emb, dim=64, threshold=0.35))
+    queries["ann_lsh_embeddings"] = round(time.monotonic() - t0, 3)
+
+    print(json.dumps({
+        "metric": "pagerank_edges_per_sec",
+        "value": round(edges_per_sec, 1),
+        "unit": "edges/sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        **{k: (round(v, 6) if isinstance(v, float) else v)
+           for k, v in extra.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

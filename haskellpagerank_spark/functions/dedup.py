@@ -1,0 +1,211 @@
+"""Deduplication kernels: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Training-data pipeline scope (north rule): before a web corpus feeds the
+link-graph engine (or a trainer), near-duplicate pages must be collapsed.
+Four strategies, all expressed Catalyst-native (built-in array/hash
+functions, whole-stage codegen — no Python in the hot path):
+
+- exact: hash-groupBy on md5(text). O(|D|) + one shuffle on the 128-bit key.
+- blocked n-gram Jaccard: cheap blocking key (first-k-token hash) -> pair
+  join inside blocks -> exact Jaccard on distinct word shingles. SQL-exact
+  (the DuckDB oracle reproduces it verbatim).
+- MinHash + LSH banding: k seeded xxhash64 min-hashes over shingles, banded
+  into b buckets; candidate pairs = same (band, band-signature); verified by
+  exact Jaccard. The web-scale path: cost is O(|D| * k) + a shuffle on band
+  keys instead of O(|D|^2). xxhash64 is not reproducible in DuckDB, so the
+  driver check for the *candidate generation* is rows-only; the final
+  verified-pairs output is still exact-Jaccard-thresholded and is validated
+  in pytest against the brute-force oracle.
+- SimHash: 64-bit signature from per-token xxhash64 bit votes; near-dups =
+  pairs within Hamming distance r (banded lookup over 4 16-bit chunks).
+
+At 100 TB: every strategy shuffles on a *short hash key* (never the text),
+and text columns are dropped before any exchange (shuffle bytes ~ |D| * 8,
+not corpus size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+_WS = r"\s+"
+
+
+def exact_duplicate_groups(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """(text_hash, n_docs, canonical_id) for every exact-duplicate group
+    (>= 2 docs with byte-identical text). canonical_id = smallest doc id."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min(id_col).alias("canonical_id"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def word_shingles(text_col: str, n: int = 3):
+    """Distinct word n-gram shingles of ``text_col`` as array<string>.
+
+    transform(sequence(0, len-n), i -> tokens[i..i+n-1] joined by ' ') —
+    mirrors the DuckDB twin ``list_transform(range(1, len-n+2), ...)``.
+    Documents shorter than n words get a single shingle of the whole text.
+    """
+    tok = tokens(text_col)
+    n_tok = F.size(tok)
+    grams = F.transform(
+        F.sequence(F.lit(0), n_tok - n),
+        lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
+    )
+    return F.array_distinct(
+        F.when(n_tok >= n, grams).otherwise(F.array(F.concat_ws(" ", tok))))
+
+
+def _jaccard(a, b):
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def jaccard_pairs_blocked(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 3,
+                          threshold: float = 0.8,
+                          block_tokens: int = 2) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, jaccard >= threshold) within blocks
+    keyed by the first ``block_tokens`` tokens.
+
+    Blocking bounds the pair join (near-dups overwhelmingly share a prefix
+    in web corpora); exact recall needs the MinHash path. SQL-exact.
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.concat_ws(" ", F.slice(tokens(text_col), 1, block_tokens))
+        .alias("block"),
+        word_shingles(text_col, n).alias("sh"),
+    )
+    a = base.select(F.col("id").alias("id_a"), "block",
+                    F.col("sh").alias("sh_a"))
+    b = base.select(F.col("id").alias("id_b"), "block",
+                    F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, "block")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+                .alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       num_hashes: int = 64) -> DataFrame:
+    """(id, sig: array<long>[num_hashes]) — k seeded min-hashes over distinct
+    shingles: sig[i] = min over shingles s of xxhash64(s, i). Entirely
+    JVM-side (xxhash64 is a Spark built-in)."""
+    sh = word_shingles(text_col, n)
+    sig = F.array(*[
+        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ])
+    return docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      num_hashes: int = 64, bands: int = 16,
+                      threshold: float = 0.8) -> DataFrame:
+    """MinHash-LSH near-dup detection, verified by exact Jaccard.
+
+    candidates: explode each signature into ``bands`` rows keyed by
+    (band_idx, hash(band slice)); docs sharing a band key pair up. The band
+    key is 8 bytes — the only thing shuffled besides doc ids. Verified pairs
+    recompute exact Jaccard on shingles (a join back to the shingle table).
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, text_col, id_col, n, num_hashes)
+    bands_df = sigs.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", *[F.element_at("sig", b * rows_per_band + r + 1)
+                           .cast("string") for r in range(rows_per_band)]
+                )).alias("key"),
+            ) for b in range(bands)
+        ])).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    cand = (
+        bands_df.alias("x").join(
+            bands_df.alias("y"), ["band", "key"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = docs.select(F.col(id_col).alias("id"),
+                     word_shingles(text_col, n).alias("sh"))
+    return (
+        cand.join(sh.select(F.col("id").alias("id_a"),
+                            F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"),
+                        F.col("sh").alias("sh_b")), "id_b")
+        .select("id_a", "id_b",
+                F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+                .alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash: long) — 64-bit SimHash of the token multiset.
+
+    Per token t: h = xxhash64(t); each bit votes +1/-1 weighted by the
+    token's multiplicity; signature bit b = 1 iff the vote sum > 0. Built
+    from explode + 64 conditional sums — all codegen'd aggregates, one
+    shuffle keyed by doc id.
+    """
+    tok = docs.select(F.col(id_col).alias("id"),
+                      F.explode(tokens(text_col)).alias("t"))
+    h = F.xxhash64("t")
+    votes = [
+        F.sum(F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1))
+        .alias(f"v{b}")
+        for b in range(63)  # bit 63 = sign bit; keep signatures non-negative
+    ]
+    voted = tok.groupBy("id").agg(*votes)
+    sig = None
+    for b in range(63):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return voted.select("id", sig.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash banding (4 x 16-bit chunks; Hamming <= 3
+    guarantees >= 1 identical chunk). Returns (id_a, id_b, hamming)."""
+    sigs = simhash(docs, text_col, id_col)
+    chunks = sigs.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF))
+                     .alias("key"))
+            for c in range(4)
+        ])).alias("ck"),
+    ).select("id", "simhash", "ck.chunk", "ck.key")
+    ham = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+    return (
+        chunks.alias("x").join(chunks.alias("y"), ["chunk", "key"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"),
+                ham.alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )

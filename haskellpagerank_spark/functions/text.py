@@ -1,0 +1,141 @@
+"""Text-analysis kernels for the training-data pipeline.
+
+All Catalyst-native (pyspark.sql.functions only — JVM-side, whole-stage
+codegen, no Python in the hot path) so they run unchanged over 100 TB of
+`documents`/`pages` text. Each has an exact ANSI-SQL twin used as the DuckDB
+oracle in `__spark_entry__.py`; keep the two in lock-step.
+
+The reference engine has no text surface (SURVEY.md §2.8 — its only string
+handling is the benchmark parser); this module is north-rule scope: the
+operations a web-scale corpus pipeline needs before graph extraction
+(language-ID, quality filtering, token accounting, fingerprinting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny deterministic per-language marker lists (heuristic n-gram/stopword
+# language ID — self-contained, no external models)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "fr": ["le", "la", "les", "et", "une"],
+    "es": ["el", "los", "las", "y", "una"],
+}
+
+_WS = r"\s+"
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokenization (split on runs of whitespace, trimmed)."""
+    return F.split(F.trim(F.col(c) if isinstance(c, str) else c), _WS)
+
+
+def token_count(c: Column | str) -> Column:
+    t = F.col(c) if isinstance(c, str) else c
+    return F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(t)))
+
+
+def bpe_ish_piece_count(c: Column | str) -> Column:
+    """Sub-word piece count: alphanumeric runs split every 4 chars + single
+    non-alnum symbols — a deterministic BPE-like token budget estimator.
+
+    SQL twin: ``len(regexp_extract_all(text, '[a-z0-9]{1,4}|[^a-z0-9\\s]'))``
+    (both engines use the same RE2-compatible pattern on lowercased text).
+    """
+    t = F.lower(F.col(c) if isinstance(c, str) else c)
+    return F.size(F.regexp_extract_all(t, F.lit(r"[a-z0-9]{1,4}|[^a-z0-9\s]"), 0))
+
+
+def stopword_hits(c: Column | str, lang: str) -> Column:
+    """#tokens (lowercased) that are markers of ``lang``."""
+    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    return F.size(F.filter(
+        tokens(c), lambda x: F.array_contains(markers, F.lower(x))))
+
+
+def with_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_tokens, n_pieces, avg_token_len, n_chars_measured."""
+    return docs.select(
+        "*",
+        token_count(text_col).cast("long").alias("n_tokens"),
+        bpe_ish_piece_count(text_col).cast("long").alias("n_pieces"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_measured"),
+        (F.length(F.regexp_replace(F.col(text_col), _WS, ""))
+         / F.greatest(token_count(text_col), F.lit(1))
+         ).alias("avg_token_len"),
+    )
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length, mean token length, stopword ratio, repetition.
+
+    ``quality_score`` in [0,1]: the mean of four deterministic [0,1] signals
+    — web-pipeline-style heuristics (Gopher/C4-like), exactly reproducible
+    in SQL.
+    """
+    t = F.col(text_col)
+    n_tok = token_count(text_col)
+    uniq_ratio = (F.size(F.array_distinct(tokens(text_col)))
+                  / F.greatest(n_tok, F.lit(1)))
+    stop_ratio = (F.size(F.filter(
+        tokens(text_col),
+        lambda x: F.array_contains(
+            F.array(*[F.lit(w) for w in LANG_MARKERS["en"]]), F.lower(x)),
+    )) / F.greatest(n_tok, F.lit(1)))
+    avg_len = (F.length(F.regexp_replace(t, _WS, ""))
+               / F.greatest(n_tok, F.lit(1)))
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 10000), 1.0).otherwise(0.0)
+    word_ok = F.when((avg_len >= 2.0) & (avg_len <= 12.0), 1.0).otherwise(0.0)
+    return docs.select(
+        "*",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(uniq_ratio, 6).alias("unique_token_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        F.round((len_ok + word_ok + uniq_ratio
+                 + F.least(stop_ratio * 10, F.lit(1.0))) / 4.0, 6
+                ).alias("quality_score"),
+    )
+
+
+def lang_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: marker-hit counts per language; predicted =
+    argmax hits with deterministic tie-break on language code (alphabetical),
+    'und' when nothing hits."""
+    tok = tokens(text_col)
+
+    def _in_markers(markers):
+        def pred(x):
+            return F.array_contains(markers, F.lower(x))
+        return pred
+
+    hit_cols = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        hit_cols.append(
+            F.size(F.filter(tok, _in_markers(markers))).cast("long")
+            .alias(f"hits_{lang}"))
+    scored = docs.select("*", *hit_cols)
+    # argmax via greatest + case (deterministic: first alphabetical wins ties)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # build case so earliest lang wins ties
+        pred = F.when(F.col(f"hits_{lg}") == best, F.lit(lg)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return scored.select("*", pred.alias("lang_pred"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Deterministic document fingerprint: md5 of whitespace-normalized,
+    lowercased text (the canonical near-exact-dup key). Identical in DuckDB:
+    ``md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))``."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), _WS, " "))
+    return docs.select(
+        F.col(id_col), F.md5(norm).alias("fingerprint"),
+    )

@@ -1,0 +1,551 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle SQL.
+
+Each entry pairs a PySpark DataFrame query (run at sf0.01 by the driver)
+with an ANSI-SQL twin DuckDB runs on the same parquet tables; the driver
+compares row counts, schemas, and order-insensitive value hashes. Column
+names/aliases are kept identical on both sides; every float is rounded
+identically (round(x, N)) in both engines.
+
+Queries without an oracle (xxhash64-based sketches, approximate ANN,
+sequential-semantics colorings, generated-pages pipelines) get the driver's
+rows-only check; their exact-correctness tests live in pytest against the
+NumPy/brute-force oracles instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import dedup as D
+from .functions import similarity as S
+from .functions import text as T
+from .operators import coloring as C
+from .operators.components import connected_components, label_propagation
+from .operators.graph import Graph, from_edge_df, invert, out_degrees, sinks
+from .operators.pagerank import PageRankConfig, run_pagerank
+from .operators.triangles import triangle_count
+from .sources.tpch_graph import (
+    CS_EDGES_SQL, cs_graph, num_customers,
+)
+
+DAMPING = 0.85
+NATION_TOP_EDGES = 120
+
+
+# --------------------------------------------------------------- SQL pieces
+
+# dense cs vertex space: customers 0..C-1, suppliers C..C+S-1
+CS_VERTS_SQL = """
+    SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
+    UNION ALL
+    SELECT CAST(s_suppkey + (SELECT MAX(c_custkey) + 1 FROM customer) AS BIGINT)
+    FROM supplier
+"""
+
+# nation trade graph: top-N heaviest customer-nation -> supplier-nation lanes
+NATION_EDGES_SQL = f"""
+    SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst FROM (
+        SELECT c.c_nationkey AS a, s.s_nationkey AS b, COUNT(*) AS cnt
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2
+        ORDER BY cnt DESC, a, b
+        LIMIT {NATION_TOP_EDGES}
+    )
+"""
+
+NATION_VERTS_SQL = "SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation"
+
+# tokenization twins (Spark: split(trim(text), '\\s+'))
+TOK_SQL = "string_split_regex(trim(text), '\\s+')"
+
+
+def nation_trade_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Top-N heaviest nation->nation trade lanes (deterministic tie-break) —
+    the sparse fixture graph for full-fixpoint SQL oracles."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey")
+    n = int(spark.read.parquet(f"{sf_dir}/nation.parquet").agg(
+        (F.max("n_nationkey") + 1).alias("n")).first()["n"])
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(F.col("c_nationkey").alias("a"),
+                 F.col("s_nationkey").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(NATION_TOP_EDGES)
+        .select(F.col("a").cast("long").alias("src"),
+                F.col("b").cast("long").alias("dst"))
+    )
+    return from_edge_df(edges, num_vertices=n)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------- programmatic SQL generation
+
+def pagerank_sql(edges_sql: str, verts_sql: str, iters: int,
+                 damping: float = DAMPING, round_to: int = 8) -> str:
+    """Unrolled redistribute-mode power iteration (matches
+    operators.pagerank._superstep exactly, fp-op for fp-op)."""
+    ctes = [
+        f"verts AS MATERIALIZED ({verts_sql})",
+        f"e AS MATERIALIZED (SELECT src, dst, COUNT(*) AS cnt FROM ({edges_sql}) "
+        "WHERE src <> dst GROUP BY 1, 2)",
+        "deg AS MATERIALIZED (SELECT src, SUM(cnt) AS deg FROM e GROUP BY 1)",
+        "w AS MATERIALIZED (SELECT e.src, e.dst, CAST(e.cnt AS DOUBLE) / deg.deg AS w "
+        "FROM e JOIN deg ON e.src = deg.src)",
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+        "r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"dang{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS m "
+            f"FROM r{p} r LEFT JOIN deg ON r.id = deg.src "
+            "WHERE deg.src IS NULL)"
+        )
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT w.dst AS id, SUM(w.w * r.rank) AS msg "
+            f"FROM w JOIN r{p} r ON w.src = r.id GROUP BY 1)"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT v.id, "
+            f"(1.0 - {damping}) / (SELECT n FROM nn) + {damping} * "
+            f"(COALESCE(m.msg, 0.0) + (SELECT m FROM dang{i}) / (SELECT n FROM nn)) AS rank "
+            f"FROM verts v LEFT JOIN m{i} m ON v.id = m.id)"
+        )
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, ROUND(rank, {round_to}) AS rank FROM r{iters}")
+
+
+def lp_sql(edges_sql: str, verts_sql: str, iters: int) -> str:
+    """Unrolled synchronous label propagation (mode of distinct-neighbor
+    labels, ties -> smallest label; isolated vertices keep their own)."""
+    ctes = [
+        f"verts AS MATERIALIZED ({verts_sql})",
+        f"e0 AS MATERIALIZED ({edges_sql})",
+        "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM e0 WHERE src <> dst "
+        "UNION ALL SELECT dst, src FROM e0 WHERE src <> dst))",
+        "l0 AS MATERIALIZED (SELECT id, id AS label FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT u.dst AS id, l.label, COUNT(*) AS cnt "
+            f"FROM und u JOIN l{p} l ON u.src = l.id GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"b{i} AS MATERIALIZED (SELECT id, label FROM (SELECT id, label, "
+            "ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn "
+            f"FROM c{i}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT l.id, COALESCE(b.label, l.label) AS label "
+            f"FROM l{p} l LEFT JOIN b{i} b ON l.id = b.id)"
+        )
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, label FROM l{iters}")
+
+
+CC_NATION_SQL = f"""
+WITH RECURSIVE
+e0 AS ({NATION_EDGES_SQL}),
+und AS (SELECT DISTINCT src, dst FROM
+        (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+verts AS ({NATION_VERTS_SQL}),
+reach(id, comp) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT u.dst, r.comp FROM reach r JOIN und u ON u.src = r.id
+)
+SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+"""
+
+TRIANGLES_NATION_SQL = f"""
+WITH e0 AS ({NATION_EDGES_SQL}),
+und AS (SELECT DISTINCT src, dst FROM
+        (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+canon AS (SELECT src, dst FROM und WHERE src < dst)
+SELECT COUNT(*) AS n_triangles
+FROM canon e1 JOIN canon e2 ON e1.dst = e2.src
+JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst
+"""
+
+
+# -------------------------------------------------------------- the queries
+
+def _q_out_degree_topk(spark, sf_dir):
+    g = cs_graph(spark, sf_dir)
+    return (
+        out_degrees(g).orderBy(F.desc("deg"), F.asc("id")).limit(20)
+        .select("id", "deg")
+    )
+
+
+def _q_degree_histogram(spark, sf_dir):
+    g = cs_graph(spark, sf_dir)
+    return out_degrees(g).groupBy("deg").agg(
+        F.count(F.lit(1)).alias("n_vertices"))
+
+
+def _q_sinks(spark, sf_dir):
+    return sinks(cs_graph(spark, sf_dir))
+
+
+def _q_invert_nation(spark, sf_dir):
+    g = nation_trade_graph(spark, sf_dir)
+    return invert(g.edges)
+
+
+def _q_amend_sinks_nation(spark, sf_dir):
+    from .operators.graph import amend_sinks
+    g = amend_sinks(nation_trade_graph(spark, sf_dir))
+    return g.edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _q_pagerank_superstep(spark, sf_dir):
+    g = cs_graph(spark, sf_dir)
+    res = run_pagerank(g, PageRankConfig(
+        damping=DAMPING, num_iters=1, sink_mode="redistribute"))
+    return res.ranks.select("id", F.round("rank", 8).alias("rank"))
+
+
+def _q_pagerank_cs_5(spark, sf_dir):
+    g = cs_graph(spark, sf_dir)
+    res = run_pagerank(g, PageRankConfig(
+        damping=DAMPING, num_iters=5, sink_mode="redistribute"))
+    return res.ranks.select("id", F.round("rank", 8).alias("rank"))
+
+
+def _q_pagerank_nation_30(spark, sf_dir):
+    g = nation_trade_graph(spark, sf_dir)
+    res = run_pagerank(g, PageRankConfig(
+        damping=DAMPING, num_iters=30, sink_mode="redistribute"))
+    return res.ranks.select("id", F.round("rank", 8).alias("rank"))
+
+
+def _q_cc_nation(spark, sf_dir):
+    g = nation_trade_graph(spark, sf_dir)
+    return connected_components(g).df
+
+
+def _q_cc_cs(spark, sf_dir):
+    g = cs_graph(spark, sf_dir)
+    return connected_components(g).df
+
+
+def _q_lp_nation_5(spark, sf_dir):
+    g = nation_trade_graph(spark, sf_dir)
+    return label_propagation(g, num_iters=5).df
+
+
+def _q_triangles_nation(spark, sf_dir):
+    return triangle_count(nation_trade_graph(spark, sf_dir))
+
+
+def _q_coloring_greedy_nation(spark, sf_dir):
+    return C.greedy_coloring(nation_trade_graph(spark, sf_dir)).df
+
+
+def _q_coloring_jp_nation(spark, sf_dir):
+    return C.jones_plassmann(nation_trade_graph(spark, sf_dir), seed=42).df
+
+
+def _q_pages_pagerank(spark, sf_dir):
+    """M0 showcase: deterministic pages -> extract -> encode -> PageRank.
+    Generated input (no oracle view); rows-only driver check."""
+    from .sources.pages import build_graph, generate_pages
+    pages = generate_pages(spark, num_pages=2000, seed=42, avg_links=6)
+    g, vertices = build_graph(pages)
+    res = run_pagerank(g, PageRankConfig(
+        damping=DAMPING, num_iters=5, sink_mode="redistribute"))
+    from .operators.pagerank import top_k
+    return top_k(res.ranks, 20).join(vertices, "id").select(
+        "url", "id", F.round("rank", 8).alias("rank"))
+
+
+def _q_token_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return T.with_token_stats(docs).select(
+        "doc_id", "n_tokens", "n_pieces", "n_chars_measured",
+        F.round("avg_token_len", 6).alias("avg_token_len"))
+
+
+def _q_quality(spark, sf_dir):
+    return T.quality_features(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "unique_token_ratio", "stopword_ratio",
+        "avg_token_len", "quality_score")
+
+
+def _q_lang_id(spark, sf_dir):
+    return T.lang_scores(_docs(spark, sf_dir)).select(
+        "doc_id", "hits_de", "hits_en", "hits_es", "hits_fr", "lang_pred")
+
+
+def _q_fingerprint(spark, sf_dir):
+    return T.fingerprint(_docs(spark, sf_dir))
+
+
+def _q_exact_dedup(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("doc_id").alias("canonical_id"))
+    )
+
+
+def _q_neardup_jaccard(spark, sf_dir):
+    return D.jaccard_pairs_blocked(
+        _docs(spark, sf_dir), n=3, threshold=0.5, block_tokens=2)
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_pairs(
+        _docs(spark, sf_dir), n=3, num_hashes=64, bands=16, threshold=0.5)
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    return D.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=12)
+
+
+def _q_cosine_pairs(spark, sf_dir):
+    return S.cosine_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+
+def _q_ann_topk(spark, sf_dir):
+    return S.ann_topk_bruteforce(
+        _emb(spark, sf_dir), query_ids=list(range(10)), k=5)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    return S.ann_lsh_pairs(_emb(spark, sf_dir), dim=64, threshold=0.35)
+
+
+def _q_events_user_daily(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("total_value"))
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "out_degree_topk": _q_out_degree_topk,
+    "degree_histogram": _q_degree_histogram,
+    "sink_vertices": _q_sinks,
+    "invert_nation": _q_invert_nation,
+    "amend_sinks_nation": _q_amend_sinks_nation,
+    "pagerank_superstep_cs": _q_pagerank_superstep,
+    "pagerank_cs_5": _q_pagerank_cs_5,
+    "pagerank_nation_30": _q_pagerank_nation_30,
+    "cc_nation": _q_cc_nation,
+    "cc_cs": _q_cc_cs,
+    "lp_nation_5": _q_lp_nation_5,
+    "triangle_count_nation": _q_triangles_nation,
+    "coloring_greedy_nation": _q_coloring_greedy_nation,
+    "coloring_jp_nation": _q_coloring_jp_nation,
+    "pages_linkgraph_pagerank": _q_pages_pagerank,
+    "token_stats": _q_token_stats,
+    "quality_features": _q_quality,
+    "lang_id": _q_lang_id,
+    "doc_fingerprint": _q_fingerprint,
+    "exact_dedup_groups": _q_exact_dedup,
+    "neardup_jaccard_blocked": _q_neardup_jaccard,
+    "neardup_minhash_lsh": _q_minhash_lsh,
+    "neardup_simhash": _q_simhash_pairs,
+    "embedding_cosine_pairs": _q_cosine_pairs,
+    "ann_topk_bruteforce": _q_ann_topk,
+    "ann_lsh_pairs": _q_ann_lsh,
+    "events_user_daily": _q_events_user_daily,
+}
+
+
+def _markers_sql(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in T.LANG_MARKERS[lang])
+
+
+_SHINGLES_SQL = f"""
+    CASE WHEN len(tok) >= 3
+         THEN list_distinct(list_transform(range(1, len(tok) - 1),
+                            i -> array_to_string(tok[i:i+2], ' ')))
+         ELSE [array_to_string(tok, ' ')] END
+"""
+
+ORACLES: dict[str, str] = {
+    "out_degree_topk": f"""
+        WITH verts AS ({CS_VERTS_SQL}),
+        deg AS (SELECT src AS id, COUNT(*) AS deg FROM ({CS_EDGES_SQL})
+                WHERE src <> dst GROUP BY 1)
+        SELECT v.id, COALESCE(d.deg, 0) AS deg
+        FROM verts v LEFT JOIN deg d ON v.id = d.id
+        ORDER BY deg DESC, v.id ASC LIMIT 20
+    """,
+    "degree_histogram": f"""
+        WITH verts AS ({CS_VERTS_SQL}),
+        deg AS (SELECT src AS id, COUNT(*) AS deg FROM ({CS_EDGES_SQL})
+                WHERE src <> dst GROUP BY 1)
+        SELECT COALESCE(d.deg, 0) AS deg, COUNT(*) AS n_vertices
+        FROM verts v LEFT JOIN deg d ON v.id = d.id GROUP BY 1
+    """,
+    "sink_vertices": f"""
+        WITH verts AS ({CS_VERTS_SQL})
+        SELECT id FROM verts
+        WHERE id NOT IN (SELECT src FROM ({CS_EDGES_SQL}) WHERE src <> dst)
+    """,
+    "invert_nation": f"""
+        SELECT dst AS src, src AS dst FROM ({NATION_EDGES_SQL})
+    """,
+    "amend_sinks_nation": f"""
+        WITH e0 AS (SELECT src, dst FROM ({NATION_EDGES_SQL}) WHERE src <> dst),
+        snk AS (SELECT id FROM ({NATION_VERTS_SQL})
+                WHERE id NOT IN (SELECT src FROM e0)),
+        refl AS (SELECT e.dst AS src, e.src AS dst
+                 FROM e0 e JOIN snk ON e.dst = snk.id),
+        allE AS (SELECT * FROM e0 UNION ALL SELECT * FROM refl)
+        SELECT src, dst, COUNT(*) AS cnt FROM allE GROUP BY 1, 2
+    """,
+    "pagerank_superstep_cs": pagerank_sql(CS_EDGES_SQL, CS_VERTS_SQL, 1),
+    "pagerank_cs_5": pagerank_sql(CS_EDGES_SQL, CS_VERTS_SQL, 5),
+    "pagerank_nation_30": pagerank_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, 30),
+    "cc_nation": CC_NATION_SQL,
+    "lp_nation_5": lp_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, 5),
+    "triangle_count_nation": TRIANGLES_NATION_SQL,
+    "token_stats": f"""
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len({TOK_SQL}) END AS n_tokens,
+               len(regexp_extract_all(lower(text),
+                   '[a-z0-9]{{1,4}}|[^a-z0-9\\s]')) AS n_pieces,
+               length(text) AS n_chars_measured,
+               ROUND(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                     / GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len({TOK_SQL}) END, 1), 6)
+                   AS avg_token_len
+        FROM documents
+    """,
+    "quality_features": f"""
+        WITH t AS (
+            SELECT *, {TOK_SQL} AS tok,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len({TOK_SQL}) END AS n_tok
+            FROM documents
+        )
+        SELECT doc_id, n_tok AS n_tokens,
+               ROUND(len(list_distinct(tok))::DOUBLE / GREATEST(n_tok, 1), 6)
+                   AS unique_token_ratio,
+               ROUND(len(list_filter(tok, x -> lower(x) IN ({_markers_sql('en')})))::DOUBLE
+                     / GREATEST(n_tok, 1), 6) AS stopword_ratio,
+               ROUND(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                     / GREATEST(n_tok, 1), 6) AS avg_token_len,
+               ROUND((
+                   (CASE WHEN n_tok >= 10 AND n_tok <= 10000 THEN 1.0 ELSE 0.0 END)
+                   + (CASE WHEN length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                            / GREATEST(n_tok, 1) >= 2.0
+                       AND length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                            / GREATEST(n_tok, 1) <= 12.0 THEN 1.0 ELSE 0.0 END)
+                   + len(list_distinct(tok))::DOUBLE / GREATEST(n_tok, 1)
+                   + LEAST(len(list_filter(tok, x -> lower(x) IN ({_markers_sql('en')})))::DOUBLE
+                           / GREATEST(n_tok, 1) * 10, 1.0)
+               ) / 4.0, 6) AS quality_score
+        FROM t
+    """,
+    "lang_id": f"""
+        WITH t AS (SELECT doc_id, {TOK_SQL} AS tok FROM documents),
+        h AS (SELECT doc_id,
+              len(list_filter(tok, x -> lower(x) IN ({_markers_sql('de')}))) AS hits_de,
+              len(list_filter(tok, x -> lower(x) IN ({_markers_sql('en')}))) AS hits_en,
+              len(list_filter(tok, x -> lower(x) IN ({_markers_sql('es')}))) AS hits_es,
+              len(list_filter(tok, x -> lower(x) IN ({_markers_sql('fr')}))) AS hits_fr
+              FROM t)
+        SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+               CASE WHEN GREATEST(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+                    WHEN hits_de = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+                    WHEN hits_en = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+                    WHEN hits_es = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM h
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                   AS fingerprint
+        FROM documents
+    """,
+    "exact_dedup_groups": """
+        SELECT md5(text) AS text_hash, COUNT(*) AS n_docs,
+               MIN(doc_id) AS canonical_id
+        FROM documents GROUP BY 1
+    """,
+    "neardup_jaccard_blocked": f"""
+        WITH t AS (SELECT doc_id, {TOK_SQL} AS tok FROM documents),
+        s AS (SELECT doc_id, array_to_string(tok[1:2], ' ') AS block,
+                     {_SHINGLES_SQL} AS sh FROM t)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+                   AS jaccard
+        FROM s a JOIN s b ON a.block = b.block AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    """,
+    "embedding_cosine_pairs": """
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+                   FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))) >= 0.35
+    """,
+    "ann_topk_bruteforce": """
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+                   FROM embeddings),
+        q AS (SELECT * FROM v WHERE vec_id < 10),
+        scored AS (
+            SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                   list_dot_product(q.e, d.e)
+                   / (sqrt(list_dot_product(q.e, q.e))
+                      * sqrt(list_dot_product(d.e, d.e))) AS c
+            FROM q JOIN v d ON q.vec_id <> d.vec_id
+        )
+        SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY c DESC, neighbor_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+    """,
+    "events_user_daily": """
+        SELECT user_id, date_trunc('day', ts) AS day,
+               COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+}

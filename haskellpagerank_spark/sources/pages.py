@@ -1,0 +1,256 @@
+"""Common-Crawl-style pages source: generation, extraction, encoding.
+
+The engine's production input (BASELINE.json input_hint) is an Iceberg table
+
+    pages(url: string, warc_ts: timestamp, html: binary, text: string,
+          lang: string)
+
+at 10^12-document scale. This module provides
+
+- ``generate_pages``  — a deterministic, seeded, *distributed* synthetic
+  generator of that exact shape (the sandbox has no Iceberg jar and no
+  network; BASELINE.json forbids external data). Link structure is a skewed
+  ("hub") pseudo-random graph so the downstream shuffle sees realistic
+  power-law-ish dst skew.
+- ``extract_text``    — vectorized (Arrow-batched pandas string kernels, no
+  per-row Python) visible-text extraction from ``html``. The generator emits
+  ``text`` through the *same* canonical rule, so extraction is byte-identical
+  per url — the driver invariant.
+- ``extract_links``   — vectorized href extraction -> ``raw_edges(src_url,
+  dst_url)``, one row per href occurrence (duplicates kept, matching the
+  reference parser's multiset contract, EdgeArray.hs:78-89).
+- ``encode_vertices`` / ``build_graph`` — deterministic dictionary encoding
+  url -> dense int64 id (sort + zipWithIndex), the distributed equivalent of
+  the reference's dense 0..maxID contract (TestGraphParser.hs:26-31).
+
+Scale notes (1000-executor reading):
+- generation is embarrassingly parallel over ``spark.range`` partitions; all
+  randomness is a pure function of (seed, page_id) so output is independent
+  of partitioning and task retries;
+- extraction reads ONLY the columns it needs — Catalyst prunes ``html`` out
+  of the parquet/Iceberg scan when a query touches just ``text`` (never ship
+  100 TB of html through a projection that drops it);
+- encoding sorts the distinct url set once (a shuffle bounded by |V|, not
+  |E|) and assigns ids with zipWithIndex — stable across resumes because the
+  sort order is total;
+- edge encoding is two hash joins on url; at web scale both sides are huge,
+  so we do NOT broadcast — AQE picks shuffled hash / sort-merge and splits
+  skewed url buckets (hubs) automatically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+from ..operators.graph import Graph, from_edge_df
+
+PAGES_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("html", BinaryType()),
+    StructField("text", StringType()),
+    StructField("lang", StringType()),
+])
+
+_VOCAB = (
+    "web graph rank page link crawl index search node edge spark data "
+    "query batch shuffle join scan hash sort merge stream vector column"
+).split()
+
+_LANGS = ["en", "en", "en", "de", "fr", "es", "zh"]  # en-heavy mix
+
+
+def _mix(*cols: np.ndarray | int) -> np.ndarray:
+    """Vectorized splitmix64-style hash of the sum of inputs (uint64)."""
+    x = np.zeros(1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in cols:
+            x = x + np.asarray(c, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return x
+
+
+def page_url(page_id: int, num_sites: int) -> str:
+    return f"https://site{page_id % num_sites:04d}.example/p{page_id:08d}"
+
+
+def _gen_batch(ids: np.ndarray, num_pages: int, seed: int, num_sites: int,
+               avg_links: int, hub_count: int, hub_prob_mod: int) -> pd.DataFrame:
+    """Generate one Arrow batch of pages; pure function of (seed, ids)."""
+    rows = []
+    base_ts = np.datetime64("2025-01-01T00:00:00")
+    for i in ids.tolist():
+        h = int(_mix(seed, i, 1)[0])
+        n_words = 20 + h % 80
+        widx = _mix(seed, i, np.arange(2, 2 + n_words)) % len(_VOCAB)
+        words = [_VOCAB[int(w)] for w in widx]
+        n_links = 1 + int(_mix(seed, i, 999_001)[0] % (2 * avg_links))
+        lh = _mix(seed, i, np.arange(1000, 1000 + n_links))
+        is_hub = (lh % hub_prob_mod) == 0
+        tgt = np.where(is_hub, lh % max(hub_count, 1),
+                       _mix(lh, 7) % num_pages).astype(np.int64)
+        hrefs = "".join(
+            f'<a href="{page_url(int(t), num_sites)}">{_VOCAB[int(t) % len(_VOCAB)]}</a> '
+            for t in tgt
+        )
+        title = f"page {i} {words[0]}"
+        body = " ".join(words)
+        html = (
+            f"<html><head><title>{title}</title></head><body>"
+            f"<h1>{title}</h1><p>{body}</p> {hrefs}</body></html>"
+        )
+        rows.append((
+            page_url(i, num_sites),
+            base_ts + np.timedelta64(int(i % num_sites) * 3600 + (i // num_sites), "s"),
+            html.encode("utf-8"),
+            _canonical_text_py(html),
+            _LANGS[h % len(_LANGS)],
+        ))
+    df = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+    df["warc_ts"] = pd.to_datetime(df["warc_ts"])
+    return df
+
+
+_TAG_RE = r"<[^>]*>"
+_WS_RE = r"\s+"
+
+
+def _canonical_text_py(html: str) -> str:
+    """The single canonical html->text rule (strip tags, collapse ws, trim).
+
+    Used by BOTH the generator (to emit ``text``) and the scalar fallback of
+    the engine's vectorized extractor — the source of the byte-identical
+    invariant.
+    """
+    import re
+    return re.sub(_WS_RE, " ", re.sub(_TAG_RE, " ", html)).strip()
+
+
+def generate_pages(spark: SparkSession, num_pages: int, seed: int = 42,
+                   num_sites: int | None = None, avg_links: int = 8,
+                   hub_fraction: float = 0.001,
+                   hub_prob_mod: int = 5,
+                   num_partitions: int | None = None) -> DataFrame:
+    """Deterministic distributed pages table of BASELINE.json's exact shape.
+
+    ~``avg_links`` hrefs/page; 1/``hub_prob_mod`` of links point into the
+    first ``hub_fraction * num_pages`` pages (skew for shuffle realism).
+    """
+    num_sites = num_sites or max(1, num_pages // 100)
+    hub_count = max(1, int(num_pages * hub_fraction))
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield _gen_batch(b["id"].to_numpy(), num_pages, seed, num_sites,
+                             avg_links, hub_count, hub_prob_mod)
+
+    return spark.range(0, num_pages, numPartitions=parts).mapInPandas(
+        gen, schema=PAGES_SCHEMA
+    )
+
+
+# --------------------------------------------------------------- extraction
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """(url, text) from ``html`` — vectorized pandas string kernels over
+    Arrow batches; byte-identical to the canonical rule per url."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            html = b["html"].apply(lambda x: bytes(x).decode("utf-8"))
+            text = (
+                html.str.replace(_TAG_RE, " ", regex=True)
+                .str.replace(_WS_RE, " ", regex=True)
+                .str.strip()
+            )
+            yield pd.DataFrame({"url": b["url"], "text": text})
+
+    return pages.select("url", "html").mapInPandas(
+        kernel, schema="url string, text string"
+    )
+
+
+_HREF_RE = r'href="([^"]*)"'
+
+
+def extract_links(pages: DataFrame) -> DataFrame:
+    """raw_edges(src_url, dst_url): one row per href *occurrence* in ``html``
+    (duplicates kept — multiset contract, EdgeArray.hs:78-89). Vectorized via
+    pandas ``str.extractall`` inside Arrow batches."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            html = b["html"].apply(lambda x: bytes(x).decode("utf-8"))
+            hits = html.str.extractall(_HREF_RE)
+            if hits.empty:
+                yield pd.DataFrame({"src_url": [], "dst_url": []}).astype("str")
+                continue
+            src = b["url"].iloc[hits.index.get_level_values(0)].to_numpy()
+            yield pd.DataFrame({"src_url": src, "dst_url": hits[0].to_numpy()})
+
+    return pages.select("url", "html").mapInPandas(
+        kernel, schema="src_url string, dst_url string"
+    )
+
+
+# ----------------------------------------------------------------- encoding
+
+def encode_vertices(raw_edges: DataFrame) -> DataFrame:
+    """vertices(url, id): dense 0..N-1 ids by total url sort order.
+
+    Distributed + deterministic: distinct urls (shuffle bounded by |V|),
+    range-partitioned sort, then zipWithIndex — ids are stable across
+    retries/resumes because the order is total. The RDD hop is the one
+    sanctioned exception in SURVEY.md §1.4.
+    """
+    urls = (
+        raw_edges.select(F.col("src_url").alias("url"))
+        .unionAll(raw_edges.select(F.col("dst_url").alias("url")))
+        .distinct()
+        .orderBy("url")
+    )
+    spark = raw_edges.sparkSession
+    rdd = urls.rdd.map(lambda r: r.url).zipWithIndex()
+    return spark.createDataFrame(
+        rdd, schema=StructType([
+            StructField("url", StringType()),
+            StructField("id", LongType()),
+        ])
+    )
+
+
+def encode_edges(raw_edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """edges(src, dst) via two url->id hash joins. No broadcast: at web
+    scale both sides are large; AQE handles hub-url skew."""
+    src_v = vertices.select(F.col("url").alias("src_url"), F.col("id").alias("src"))
+    dst_v = vertices.select(F.col("url").alias("dst_url"), F.col("id").alias("dst"))
+    return (
+        raw_edges.join(src_v, "src_url").join(dst_v, "dst_url")
+        .select("src", "dst")
+    )
+
+
+def build_graph(pages: DataFrame) -> tuple[Graph, DataFrame]:
+    """pages -> (Graph over dense ids, vertices(url, id)).
+
+    The full M0 pipeline: href extraction -> dictionary encoding -> self-loop
+    drop (from_edge_df). ``num_vertices`` = |vertices| (dense by
+    construction). Dangling urls (linked-to but never crawled) become sink
+    vertices — exactly the reference's dense-space semantics.
+    """
+    raw = extract_links(pages)
+    vertices = encode_vertices(raw).persist()
+    n = vertices.count()
+    edges = encode_edges(raw, vertices)
+    return from_edge_df(edges, num_vertices=n), vertices

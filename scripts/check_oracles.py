@@ -1,0 +1,95 @@
+"""Local replica of the driver's correctness harness.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given sf dir, then compares row count, column names, and
+order-insensitive values (sorted rows, columns sorted by name). Exits
+non-zero on any mismatch. Usage:
+
+    python scripts/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+from haskellpagerank_spark.session import get_spark  # noqa: E402
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        else:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    import __spark_entry__ as E
+
+    spark = get_spark(app_name="oracle-check", cores=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            failures.append((name, f"spark error: {ex}"))
+            print(f"FAIL {name}: spark error: {ex}")
+            continue
+        dt = time.monotonic() - t0
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(sdf)} rows, {dt:.1f}s)")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as ex:  # noqa: BLE001
+            failures.append((name, f"duckdb error: {ex}"))
+            print(f"FAIL {name}: duckdb error: {ex}")
+            continue
+        s, o = normalize(sdf), normalize(odf)
+        if list(s.columns) != list(o.columns):
+            failures.append((name, f"schema {list(s.columns)} != {list(o.columns)}"))
+            print(f"FAIL {name}: schema {list(s.columns)} vs {list(o.columns)}")
+            continue
+        if len(s) != len(o):
+            failures.append((name, f"rows {len(s)} != {len(o)}"))
+            print(f"FAIL {name}: rows {len(s)} vs {len(o)}")
+            continue
+        if not s.equals(o):
+            neq = (s != o).any(axis=1)
+            failures.append((name, f"{int(neq.sum())} differing rows"))
+            print(f"FAIL {name}: {int(neq.sum())}/{len(s)} differing rows")
+            print(pd.concat([s[neq].head(3), o[neq].head(3)]))
+            continue
+        print(f"ok   {name}: exact match ({len(s)} rows, {dt:.1f}s)")
+    print(f"\n{len(failures)} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
