@@ -106,9 +106,16 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     shingles: sig[i] = min over shingles s of xxhash64(s, i). Entirely
     JVM-side (xxhash64 is a Spark built-in)."""
     sh = word_shingles(text_col, n)
+
+    def _hashed(i):
+        # NB: must be a one-arg lambda — a two-arg lambda would be treated
+        # by Spark as the (element, index) transform variant
+        def f(s):
+            return F.xxhash64(s, F.lit(i))
+        return f
+
     sig = F.array(*[
-        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
+        F.array_min(F.transform(sh, _hashed(i))) for i in range(num_hashes)
     ])
     return docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
 

@@ -1,0 +1,205 @@
+"""Training-data pipeline functions: text, dedup, similarity, multimodal.
+
+Oracle strategy: brute-force / pure-Python twins computed on collected
+pandas data (small synthetic corpora), exact where the operator is exact
+(token stats, fingerprints, blocked Jaccard), recall-measured where it is
+approximate (MinHash-LSH, SimHash, hyperplane-LSH ANN).
+"""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from haskellpagerank_spark.functions import dedup as D
+from haskellpagerank_spark.functions import multimodal as M
+from haskellpagerank_spark.functions import similarity as S
+from haskellpagerank_spark.functions import text as T
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Synthetic corpus with exact dups, near-dups, and distinct docs."""
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight")
+    near = base.replace("tonight", "today")      # 1-word edit
+    rows = [
+        (0, base, "en"),
+        (1, base, "en"),                          # exact dup of 0
+        (2, near, "en"),                          # near dup of 0
+        (3, "der hund und die katze sind nicht da und der vogel singt", "de"),
+        (4, "le chat et le chien dans la maison et les oiseaux", "fr"),
+        (5, "completely different words about spark query engines", "en"),
+        (6, "x", "und"),                          # degenerate short doc
+        (7, base + " " + base, "en"),             # doubled text
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_token_stats_exact(corpus):
+    got = T.with_token_stats(corpus).select(
+        "doc_id", "n_tokens", "avg_token_len").toPandas().set_index("doc_id")
+    pdf = corpus.toPandas().set_index("doc_id")
+    for i, row in pdf.iterrows():
+        toks = row["text"].split()
+        assert got.loc[i, "n_tokens"] == len(toks)
+        assert got.loc[i, "avg_token_len"] == pytest.approx(
+            sum(len(t) for t in toks) / max(len(toks), 1))
+
+
+def test_lang_id(corpus):
+    got = T.lang_scores(corpus).select("doc_id", "lang_pred").toPandas()
+    pred = dict(zip(got.doc_id, got.lang_pred))
+    assert pred[0] == "en" and pred[3] == "de" and pred[4] == "fr"
+    assert pred[6] == "und"
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    docs = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world"), (2, " hello world ")],
+        "doc_id long, text string")
+    fps = T.fingerprint(docs).toPandas()["fingerprint"].tolist()
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_exact_duplicate_groups(corpus):
+    groups = D.exact_duplicate_groups(corpus).toPandas()
+    assert len(groups) == 1
+    assert groups.iloc[0]["n_docs"] == 2
+    assert groups.iloc[0]["canonical_id"] == 0
+
+
+def _brute_jaccard_pairs(pdf, n=3, threshold=0.5):
+    def sh(text):
+        t = text.split()
+        if len(t) < n:
+            return {" ".join(t)}
+        return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+    out = set()
+    for i, a in pdf.iterrows():
+        for j, b in pdf.iterrows():
+            if a.doc_id >= b.doc_id:
+                continue
+            sa, sb = sh(a.text), sh(b.text)
+            jac = len(sa & sb) / len(sa | sb)
+            if jac >= threshold:
+                out.add((a.doc_id, b.doc_id))
+    return out
+
+
+def test_minhash_lsh_finds_near_dups(corpus):
+    """LSH candidates, verified by exact Jaccard, must equal the brute-force
+    pair set on this corpus (near-dup pairs here are extremely similar, so
+    64-hash/16-band LSH recall is ~1)."""
+    got = D.minhash_lsh_pairs(corpus, threshold=0.5).toPandas()
+    got_pairs = set(zip(got.id_a, got.id_b))
+    want = _brute_jaccard_pairs(corpus.toPandas(), threshold=0.5)
+    assert got_pairs == want
+    assert (0, 1) in got_pairs and (0, 2) in got_pairs
+
+
+def test_blocked_jaccard_matches_brute_force_within_blocks(corpus):
+    got = D.jaccard_pairs_blocked(corpus, threshold=0.5).toPandas()
+    # all brute-force pairs here share their first-2-token block
+    want = _brute_jaccard_pairs(corpus.toPandas(), threshold=0.5)
+    assert set(zip(got.id_a, got.id_b)) == want
+
+
+def test_simhash_properties(corpus):
+    sigs = D.simhash(corpus).toPandas().set_index("id")["simhash"]
+    assert sigs.loc[0] == sigs.loc[1]          # identical text -> identical sig
+    assert (sigs >= 0).all()
+    ham_near = bin(int(sigs.loc[0]) ^ int(sigs.loc[2])).count("1")
+    ham_far = bin(int(sigs.loc[0]) ^ int(sigs.loc[5])).count("1")
+    assert ham_near < ham_far                   # near-dup closer than distinct
+    pairs = D.simhash_near_pairs(corpus, max_hamming=8).toPandas()
+    assert (0, 1) in set(zip(pairs.id_a, pairs.id_b))
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    """3 tight clusters of 10 vectors + 20 random, dim 16, seeded."""
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for c in range(3):
+        center = rng.standard_normal(16)
+        for _ in range(10):
+            v = center + 0.05 * rng.standard_normal(16)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    for _ in range(20):
+        rows.append((vid, [float(x) for x in rng.standard_normal(16)], -1))
+        vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+
+
+def _brute_cosine_pairs(pdf, threshold):
+    vs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+          for r in pdf.itertuples()}
+    out = set()
+    for a in vs:
+        for b in vs:
+            if a < b:
+                c = vs[a] @ vs[b] / (np.linalg.norm(vs[a]) * np.linalg.norm(vs[b]))
+                if c >= threshold:
+                    out.add((a, b))
+    return out
+
+
+def test_cosine_pairs_exact(emb):
+    got = S.cosine_pairs(emb, threshold=0.9).toPandas()
+    want = _brute_cosine_pairs(emb.toPandas(), 0.9)
+    assert set(zip(got.id_a, got.id_b)) == want
+    assert len(want) >= 3 * 45 * 0.8  # clusters are tight: most intra-pairs
+
+def test_ann_topk_matches_numpy(emb):
+    got = S.ann_topk_bruteforce(emb, query_ids=[0, 10, 20], k=3).toPandas()
+    pdf = emb.toPandas()
+    vs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+          for r in pdf.itertuples()}
+    for q in [0, 10, 20]:
+        sims = sorted(
+            ((vs[q] @ vs[o] / (np.linalg.norm(vs[q]) * np.linalg.norm(vs[o])), o)
+             for o in vs if o != q), reverse=True)[:3]
+        want = [o for _, o in sims]
+        have = got[got.query_id == q].sort_values(
+            "cosine", ascending=False).neighbor_id.tolist()
+        assert have == want
+
+
+def test_ann_lsh_recall_on_tight_clusters(emb):
+    """Hyperplane LSH must recover almost all high-cosine (>=0.9) pairs."""
+    want = _brute_cosine_pairs(emb.toPandas(), 0.9)
+    got = S.ann_lsh_pairs(emb, dim=16, threshold=0.9, bits=8,
+                          tables=8).toPandas()
+    got_pairs = set(zip(got.id_a, got.id_b))
+    assert got_pairs <= want | _brute_cosine_pairs(emb.toPandas(), 0.9)
+    recall = len(got_pairs & want) / len(want)
+    assert recall >= 0.9, f"LSH recall {recall:.2f}"
+
+
+def test_multimodal_plumbing(spark):
+    rows = [(i, "image" if i % 2 == 0 else "video",
+             bytes([i]) * (10 + i), 64, 64, 5000) for i in range(6)]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    meta = M.attach_media_metadata(media).toPandas()
+    assert (meta.payload_bytes == [10 + i for i in range(6)]).all()
+    feats = M.extract_features(media).toPandas().set_index("media_id")
+    assert all(len(v) == M.FEATURE_DIM for v in feats.features)
+    # deterministic: same payload -> same features
+    f2 = M.extract_features(media).toPandas().set_index("media_id")
+    for i in range(6):
+        assert list(feats.loc[i, "features"]) == list(f2.loc[i, "features"])
+    plan = M.frame_sample_plan(media, every_ms=1000).toPandas()
+    assert set(plan.media_id) == {1, 3, 5}
+    assert (plan.groupby("media_id").size() == 5).all()
+    with pytest.raises(NotImplementedError):
+        M.resize_images(media, 32, 32)
+
+
+def test_quality_features_degenerate_doc(corpus):
+    q = T.quality_features(corpus).toPandas().set_index("doc_id")
+    assert q.loc[6, "quality_score"] < q.loc[0, "quality_score"]
+    assert 0.0 <= q["quality_score"].min() and q["quality_score"].max() <= 1.0
