@@ -47,12 +47,14 @@ def main() -> None:
     queries: dict[str, float] = {}
     extra: dict[str, float] = {}
 
-    # -- headline: PageRank to convergence (L1 < 1e-6) on the cs link graph
+    # -- headline: PageRank to convergence (L1 < 1e-6) on the cs link graph,
+    #    CSR-block SpMV physical strategy (run_pagerank_auto's pick here)
+    from haskellpagerank_spark.operators.pagerank_csr import run_pagerank_spmv
     g = cs_graph(spark, sf_dir)
     g = g.with_edges(g.edges.persist())
     n_edges = g.edges.count()
     t0 = time.monotonic()
-    res = run_pagerank(g, PageRankConfig(
+    res = run_pagerank_spmv(g, PageRankConfig(
         damping=0.85, tol=1e-6, tol_norm="l1", sink_mode="redistribute",
         max_iters=100))
     _consume(res.ranks)
@@ -64,12 +66,17 @@ def main() -> None:
     extra["n_edges"] = n_edges
 
     # -- PageRank fixed 5 sweeps (the reference benchmark protocol,
-    #    MainBench.hs:26-27)
+    #    MainBench.hs:26-27): both physical strategies for comparison
     t0 = time.monotonic()
-    res5 = run_pagerank(g, PageRankConfig(
+    res5 = run_pagerank_spmv(g, PageRankConfig(
         damping=0.85, num_iters=5, sink_mode="redistribute"))
     _consume(res5.ranks)
     queries["pagerank_5iter"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    res5j = run_pagerank(g, PageRankConfig(
+        damping=0.85, num_iters=5, sink_mode="redistribute"))
+    _consume(res5j.ranks)
+    queries["pagerank_5iter_joinpath"] = round(time.monotonic() - t0, 3)
 
     # -- connected components on the cs graph
     t0 = time.monotonic()
@@ -97,7 +104,7 @@ def main() -> None:
     pg = pg.with_edges(pg.edges.persist())
     n_page_edges = pg.edges.count()
     t_extract = time.monotonic() - t0
-    pr = run_pagerank(pg, PageRankConfig(
+    pr = run_pagerank_spmv(pg, PageRankConfig(
         damping=0.85, num_iters=5, sink_mode="redistribute"))
     _consume(pr.ranks)
     queries["pages_extract_encode"] = round(t_extract, 3)

@@ -1,0 +1,215 @@
+"""CSR-block SpMV PageRank — the physical fast path for the superstep.
+
+The DataFrame join path (operators/pagerank.py) shuffles |E| join rows per
+sweep. This variant materializes the reference's CSR idea (EdgeArray.hs:50-52)
+as a *per-partition physical layout*: edges are hash-partitioned by dst
+block, each block stored ONCE as contiguous numpy buffers (sorted dst run
+-> unique dst ids + reduceat offsets + src ids + weights). A sweep is then
+
+    for each block (in parallel, Arrow-batched):  msg = w * x[srcs]
+        per-dst sums via np.add.reduceat           # sparse gather-scatter
+    new_x = f(msg)                                 # driver, dense numpy
+
+with the current rank vector distributed as a broadcast (vertex-mirror
+pattern, a la GraphX replicated vertex views): zero shuffle per iteration,
+one Spark job, no per-row Python.
+
+Scale envelope (explicit, by design):
+- broadcast of the dense rank vector costs 8|V| bytes per executor: fine to
+  ~10^8-10^9 vertices (0.8-8 GB) on real clusters, far beyond any local[N]
+  test. Beyond that, use strategy="join" (operators/pagerank.py), whose
+  shuffle-based gather has no |V| broadcast. ``run_pagerank_auto`` picks.
+- block build is one shuffle of the weighted edge set (same cost as a single
+  join-path sweep) and amortizes over all iterations.
+- per-block buffers are bounded by edges-per-block; ``num_blocks`` scales
+  with the cluster (default = shuffle partitions) so blocks fit comfortably
+  in executor memory (100 TB / 10k blocks ~ 10 GB raw -> use 10^5 blocks at
+  that scale; it is a plain repartition knob).
+
+Numerics match the reference formula exactly (same dconst/damping/sink
+handling as operators/pagerank.py); summation order inside a block is the
+sorted-dst run order, so per-vertex sums agree with the NumPy oracle to
+<= 1e-15 relative (tests assert allclose 1e-12 vs the oracle and vs the
+join path).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.checkpoint import CheckpointManager, IterationMetrics
+from .graph import Graph, amend_sinks
+from .pagerank import PageRankConfig, PageRankResult, weighted_edges
+
+BLOCK_SCHEMA = ("block int, dsts binary, offsets binary, srcs binary, "
+                "w binary")
+
+
+def build_csr_blocks(work: Graph, num_blocks: int) -> DataFrame:
+    """One-time physical build: weighted edges -> per-block CSR buffers.
+
+    Partition key is ``dst % num_blocks`` so no two blocks share a dst —
+    per-block partial sums ARE the final sums (no combine shuffle).
+    """
+
+    def mk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        dst = pdf["dst"].to_numpy(np.int64)
+        order = np.argsort(dst, kind="stable")
+        dst = dst[order]
+        src = pdf["src"].to_numpy(np.int64)[order]
+        w = pdf["w"].to_numpy(np.float64)[order]
+        uniq, offsets = np.unique(dst, return_index=True)
+        return pd.DataFrame({
+            "block": [int(key[0])],
+            "dsts": [uniq.tobytes()],
+            "offsets": [offsets.astype(np.int64).tobytes()],
+            "srcs": [src.tobytes()],
+            "w": [w.tobytes()],
+        })
+
+    ew = weighted_edges(work)
+    return (
+        ew.withColumn("block", F.pmod(F.col("dst"), F.lit(num_blocks)).cast("int"))
+        .groupBy("block")
+        .applyInPandas(mk, schema=BLOCK_SCHEMA)
+    )
+
+
+def _spmv_job(blocks: DataFrame, x_bc) -> tuple[np.ndarray, np.ndarray]:
+    """One distributed gather-scatter sweep -> (dst ids, partial sums)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        x = x_bc.value
+        for pdf in batches:
+            ids, msgs = [], []
+            for row in pdf.itertuples(index=False):
+                uniq = np.frombuffer(row.dsts, dtype=np.int64)
+                offs = np.frombuffer(row.offsets, dtype=np.int64)
+                srcs = np.frombuffer(row.srcs, dtype=np.int64)
+                w = np.frombuffer(row.w, dtype=np.float64)
+                if len(uniq) == 0:
+                    continue
+                vals = w * x[srcs]
+                ids.append(uniq)
+                msgs.append(np.add.reduceat(vals, offs))
+            if not ids:
+                yield pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                                    "msg": pd.Series([], dtype="float64")})
+                continue
+            yield pd.DataFrame({"id": np.concatenate(ids),
+                                "msg": np.concatenate(msgs)})
+
+    out = blocks.mapInPandas(kernel, schema="id long, msg double").toPandas()
+    return out["id"].to_numpy(np.int64), out["msg"].to_numpy(np.float64)
+
+
+def run_pagerank_spmv(g: Graph, cfg: PageRankConfig | None = None,
+                      num_blocks: int | None = None) -> PageRankResult:
+    """PageRank with CSR-block SpMV supersteps (same semantics/flags as
+    run_pagerank; see PageRankConfig)."""
+    cfg = cfg or PageRankConfig()
+    spark = g.spark
+    n = g.num_vertices
+    if n == 0:
+        return PageRankResult(ranks=g.vertices().select(
+            "id", F.lit(0.0).alias("rank")), iterations=0)
+
+    work = amend_sinks(g) if cfg.sink_mode == "reflect" else g
+    num_blocks = num_blocks or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    blocks = build_csr_blocks(work, num_blocks).persist()
+    blocks.count()  # materialize once
+
+    deg_pdf = (
+        work.edges.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("deg")).toPandas()
+    )
+    outdeg = np.zeros(n, dtype=np.int64)
+    outdeg[deg_pdf["id"].to_numpy(np.int64)] = deg_pdf["deg"].to_numpy(np.int64)
+    has_out = outdeg > 0
+    n_nonsink = int(has_out.sum())
+    n_edges = int(outdeg.sum())
+
+    d = cfg.damping
+    init = cfg.init_value if cfg.init_value is not None else 1.0 / n
+    dconst = (1.0 - d) / n_nonsink if n_nonsink else 0.0
+
+    x = np.full(n, float(init))
+    ckpt = CheckpointManager(cfg.checkpoint_dir, cfg.checkpoint_interval)
+    start_iter = 0
+    if cfg.checkpoint_dir:
+        resumed = ckpt.resume(spark)
+        if resumed is not None:
+            pdf = resumed[0].toPandas()
+            x = np.zeros(n)
+            x[pdf["id"].to_numpy(np.int64)] = pdf["rank"].to_numpy(np.float64)
+            start_iter = resumed[1]
+
+    def to_df(vec: np.ndarray) -> DataFrame:
+        return spark.createDataFrame(
+            pd.DataFrame({"id": np.arange(n, dtype=np.int64), "rank": vec}))
+
+    sc = spark.sparkContext
+    metrics: list[IterationMetrics] = []
+    total_iters = cfg.num_iters if cfg.num_iters > 0 else cfg.max_iters
+    it = start_iter
+    prev = x
+    while it < total_iters:
+        it += 1
+        t0 = time.monotonic()
+        bc = sc.broadcast(x)
+        ids, msgs = _spmv_job(blocks, bc)
+        bc.destroy()
+        msg = np.zeros(n)
+        msg[ids] = msgs
+        if cfg.sink_mode == "redistribute":
+            dangling = float(x[~has_out].sum())
+            new = (1.0 - d) / n + d * (msg + dangling / n)
+        else:
+            new = dconst + d * msg
+            new[~has_out] = 0.0
+        diff = np.abs(new - x)
+        l1, linf = float(diff.sum()), float(diff.max())
+        m = IterationMetrics(
+            iteration=it, l1_residual=l1, linf_residual=linf,
+            rows_shuffled=0, wall_s=time.monotonic() - t0,
+            extra={"edges_processed": n_edges, "strategy": "spmv"},
+        )
+        metrics.append(m)
+        if cfg.checkpoint_dir:
+            snap = ckpt.should_snapshot(it)
+            ckpt.write(to_df(new) if snap else None, m, snapshot=snap)
+        converged = (linf if cfg.tol_norm == "linf" else l1) <= cfg.tol
+        prev, x = x, new
+        if cfg.num_iters == 0 and converged:
+            final = prev if cfg.return_previous_on_converge else x
+            blocks.unpersist()
+            return PageRankResult(ranks=to_df(final), iterations=it,
+                                  metrics=metrics)
+
+    blocks.unpersist()
+    if cfg.num_iters == 0:
+        raise RuntimeError(
+            f"pagerank_spmv did not converge within max_iters={cfg.max_iters}")
+    return PageRankResult(ranks=to_df(x), iterations=it, metrics=metrics)
+
+
+# crossover guide: broadcast cost is 8|V| bytes/executor; prefer SpMV below
+# ~1e8 vertices, the shuffle-join path beyond (see module docstring).
+SPMV_MAX_VERTICES = 100_000_000
+
+
+def run_pagerank_auto(g: Graph, cfg: PageRankConfig | None = None
+                      ) -> PageRankResult:
+    """Pick the physical strategy by vertex count (documented crossover)."""
+    from .pagerank import run_pagerank
+    if g.num_vertices <= SPMV_MAX_VERTICES:
+        return run_pagerank_spmv(g, cfg)
+    return run_pagerank(g, cfg)

@@ -1,0 +1,77 @@
+"""CSR-block SpMV PageRank: parity with the join path and the NumPy oracle.
+
+The SpMV path must be a pure physical-strategy change — identical semantics
+in both sink modes, both stopping rules, and under checkpoint/resume.
+"""
+
+import numpy as np
+import pytest
+
+from haskellpagerank_spark import oracle as O
+from haskellpagerank_spark.fixtures import FIXTURE_EDGES
+from haskellpagerank_spark.operators.graph import from_pairs
+from haskellpagerank_spark.operators.pagerank import (
+    PageRankConfig, reference_config, run_pagerank)
+from haskellpagerank_spark.operators.pagerank_csr import (
+    run_pagerank_auto, run_pagerank_spmv)
+
+
+def _ranks(res, n):
+    pdf = res.ranks.toPandas().sort_values("id")
+    assert len(pdf) == n
+    return pdf["rank"].to_numpy()
+
+
+@pytest.mark.parametrize("name", ["doubleSquare", "square", "hub",
+                                  "sinkAndSource", "complete",
+                                  "simpleGraphOneNodeMissing", "princeton"])
+def test_spmv_matches_reference_oracle(spark, name):
+    pairs = FIXTURE_EDGES[name]
+    src, dst, n = O.parse_edges(pairs)
+    asrc, adst = O.amend_sinks(src, dst, n)
+    want = O.pagerank_jacobi(asrc, adst, n, damping=0.15, eps=1e-4, init=1.0)
+    g = from_pairs(spark, pairs)
+    res = run_pagerank_spmv(g, reference_config())
+    np.testing.assert_allclose(_ranks(res, n), want, atol=1e-9)
+
+
+@pytest.mark.parametrize("sink_mode", ["reflect", "redistribute"])
+def test_spmv_identical_to_join_path(spark, sink_mode):
+    pairs = FIXTURE_EDGES["doubleSquare"] + FIXTURE_EDGES["sinkAndSource"]
+    g = from_pairs(spark, pairs)
+    cfg = PageRankConfig(damping=0.85, num_iters=7, sink_mode=sink_mode)
+    a = _ranks(run_pagerank_spmv(g, cfg), g.num_vertices)
+    b = _ranks(run_pagerank(g, cfg), g.num_vertices)
+    np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-16)
+
+
+def test_spmv_redistribute_sums_to_one(spark):
+    g = from_pairs(spark, FIXTURE_EDGES["sinkAndSource"])
+    res = run_pagerank_spmv(g, PageRankConfig(
+        damping=0.85, tol=1e-10, tol_norm="l1", sink_mode="redistribute"))
+    assert abs(_ranks(res, g.num_vertices).sum() - 1.0) < 1e-9
+
+
+def test_spmv_checkpoint_resume(spark, tmp_path):
+    """Kill-and-resume: run 3 iters with snapshots, then resume to 6 and
+    compare to an uninterrupted 6-iter run — byte-identical ranks."""
+    g = from_pairs(spark, FIXTURE_EDGES["doubleSquare"])
+    ck = str(tmp_path / "ck")
+    cfg3 = PageRankConfig(damping=0.85, num_iters=3, sink_mode="redistribute",
+                          checkpoint_dir=ck, checkpoint_interval=1)
+    run_pagerank_spmv(g, cfg3)
+    cfg6 = PageRankConfig(damping=0.85, num_iters=6, sink_mode="redistribute",
+                          checkpoint_dir=ck, checkpoint_interval=1)
+    resumed = run_pagerank_spmv(g, cfg6)
+    assert resumed.metrics[0].iteration == 4  # picked up mid-loop
+    plain = run_pagerank_spmv(g, PageRankConfig(
+        damping=0.85, num_iters=6, sink_mode="redistribute"))
+    np.testing.assert_array_equal(
+        _ranks(resumed, g.num_vertices), _ranks(plain, g.num_vertices))
+
+
+def test_auto_picks_spmv_for_small_graphs(spark):
+    g = from_pairs(spark, FIXTURE_EDGES["complete"])
+    res = run_pagerank_auto(g, PageRankConfig(
+        damping=0.85, num_iters=3, sink_mode="redistribute"))
+    assert res.metrics[0].extra.get("strategy") == "spmv"
