@@ -1,0 +1,84 @@
+"""Structured-Streaming ingestion for the link-graph pipeline.
+
+The reference is purely batch-iterative (SURVEY.md §2.9) — this module is
+north-rule-adjacent scope: a production crawl lands page batches
+continuously, and the engine must fold them into the edge table without
+full recomputes. Three pieces:
+
+- ``stream_pages`` / ``ingest_pages_to_edges``: file-source stream of pages
+  parquet -> vectorized href extraction (the same Arrow kernel as batch,
+  sources/pages.extract_links) -> append-only raw-edges parquet sink with
+  exactly-once file-source checkpointing. ``Trigger.AvailableNow`` drains
+  the backlog and stops, which is also how the tests drive it
+  deterministically.
+- ``stream_edge_lists``: reference-style text edge lists as a stream.
+- ``windowed_event_counts``: watermark + tumbling-window aggregation over
+  the ``events`` table shape (late data handled by the watermark) — the
+  standard stateful-agg pattern.
+
+After each ingested batch, recomputing ranks is a *batch* concern:
+run_pagerank_incremental (operators/prism.py) seeded with the previous
+converged state is the intended delta path — new edges activate their
+endpoints' frontiers instead of restarting from uniform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..sources.pages import PAGES_SCHEMA, extract_links
+
+
+def stream_pages(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of pages parquet batches (one file per crawl
+    micro-batch)."""
+    return spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+
+
+def ingest_pages_to_edges(spark: SparkSession, input_dir: str,
+                          edges_dir: str, checkpoint_dir: str,
+                          available_now: bool = True) -> StreamingQuery:
+    """pages stream -> href extraction -> append raw_edges parquet.
+
+    Exactly-once per input file via the file-source + checkpoint contract;
+    the extraction kernel is the identical Arrow-batched one used in batch
+    mode, so streamed and batch-extracted edges are byte-identical.
+    """
+    raw = extract_links(stream_pages(spark, input_dir))
+    writer = (
+        raw.writeStream.format("parquet")
+        .option("path", edges_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_edge_lists(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Reference-style ``src dst`` text lines as a streaming edge source
+    (readEdgeArray's format, EdgeArray.hs:145-152)."""
+    raw = spark.readStream.text(input_dir)
+    parts = F.split(F.trim(F.col("value")), r"\s+")
+    return raw.where(F.length(F.trim(F.col("value"))) > 0).select(
+        parts.getItem(0).cast("long").alias("src"),
+        parts.getItem(1).cast("long").alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window per-type counts with late-data watermark over the
+    events shape (event_id, ts, user_id, event_type, value)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n_events", "total_value")
+    )

@@ -1,0 +1,76 @@
+"""One scaling-measurement run: PageRank on a pre-built edge parquet at a
+given parallelism, fresh JVM. Prints one JSON line.
+
+Usage: python scripts/scaling_job.py --cores N --edges PATH --n-vertices N
+       [--iters 5] [--strategy spmv|join] [--extract-pages N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--edges", required=True)
+    ap.add_argument("--n-vertices", type=int, required=True)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--strategy", default="spmv", choices=["spmv", "join"])
+    ap.add_argument("--extract-pages", type=int, default=0,
+                    help="also time the pages extract pipeline at this size")
+    args = ap.parse_args()
+
+    from haskellpagerank_spark.operators.graph import Graph
+    from haskellpagerank_spark.operators.pagerank import (
+        PageRankConfig, run_pagerank)
+    from haskellpagerank_spark.operators.pagerank_csr import run_pagerank_spmv
+    from haskellpagerank_spark.session import get_spark
+
+    spark = get_spark(app_name=f"scaling-{args.cores}", cores=args.cores,
+                      shuffle_partitions=args.cores)
+    edges = spark.read.parquet(args.edges)
+    g = Graph(edges=edges.persist(), num_vertices=args.n_vertices)
+    n_edges = g.edges.count()
+
+    cfg = PageRankConfig(damping=0.85, num_iters=args.iters,
+                         sink_mode="redistribute")
+    t0 = time.monotonic()
+    runner = run_pagerank_spmv if args.strategy == "spmv" else run_pagerank
+    res = runner(g, cfg)
+    res.ranks.count()
+    wall = time.monotonic() - t0
+
+    out = {
+        "cores": args.cores,
+        "strategy": args.strategy,
+        "n_edges": n_edges,
+        "iters": res.iterations,
+        "wall_s": round(wall, 3),
+        "edges_per_sec": round(n_edges * res.iterations / wall, 1),
+    }
+
+    if args.extract_pages:
+        from haskellpagerank_spark.sources.pages import (
+            extract_links, generate_pages)
+        t0 = time.monotonic()
+        pages = generate_pages(spark, num_pages=args.extract_pages, seed=42,
+                               avg_links=8)
+        n_links = extract_links(pages).count()
+        dt = time.monotonic() - t0
+        out["extract_pages"] = args.extract_pages
+        out["extract_links"] = n_links
+        out["extract_wall_s"] = round(dt, 3)
+        out["extract_pages_per_sec"] = round(args.extract_pages / dt, 1)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,45 @@
+"""Incremental (prism-style) PageRank: converges to the Jacobi fixpoint
+with a draining frontier (TestPrism.hs's invariant style, SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+
+from haskellpagerank_spark import oracle as O
+from haskellpagerank_spark.fixtures import FIXTURE_EDGES, PAGERANK_FIXTURES
+from haskellpagerank_spark.operators.graph import from_pairs
+from haskellpagerank_spark.operators.pagerank import PageRankConfig
+from haskellpagerank_spark.operators.prism import run_pagerank_incremental
+
+
+@pytest.mark.parametrize("name", ["doubleSquare", "princeton", "complete",
+                                  "sinkAndSource"])
+def test_incremental_reaches_jacobi_fixpoint(spark, name):
+    pairs = FIXTURE_EDGES[name]
+    src, dst, n = O.parse_edges(pairs)
+    asrc, adst = O.amend_sinks(src, dst, n)
+    want = O.pagerank_jacobi(asrc, adst, n, damping=0.15, eps=1e-12, init=1.0)
+    g = from_pairs(spark, pairs)
+    res = run_pagerank_incremental(g, PageRankConfig(
+        damping=0.15, tol=1e-9, sink_mode="reflect", init_value=1.0,
+        max_iters=500), activate_eps=1e-9)
+    got = res.ranks.toPandas().sort_values("id")["rank"].to_numpy()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_frontier_drains(spark):
+    g = from_pairs(spark, FIXTURE_EDGES["doubleSquare"])
+    res = run_pagerank_incremental(g, PageRankConfig(
+        damping=0.15, tol=1e-8, sink_mode="reflect", init_value=1.0,
+        max_iters=500))
+    sizes = [m.extra["frontier"] for m in res.metrics]
+    assert sizes[0] == g.num_vertices         # full first activation
+    assert sizes[-1] <= sizes[0]              # collapses over time
+    # rank sum invariant on a stochastic (amended) graph
+    s = res.ranks.agg({"rank": "sum"}).first()[0]
+    assert abs(s - 1.0) < 0.05
+
+
+def test_incremental_rejects_redistribute(spark):
+    g = from_pairs(spark, FIXTURE_EDGES["square"])
+    with pytest.raises(ValueError):
+        run_pagerank_incremental(g, PageRankConfig(sink_mode="redistribute"))
