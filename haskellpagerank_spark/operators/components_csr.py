@@ -1,0 +1,117 @@
+"""CSR-block connected components — SpMV-style min-label propagation.
+
+Same physical layout as pagerank_csr (per-block contiguous buffers over the
+*undirected* edge set, dst-partitioned so per-block candidate minima are
+final) with the broadcast-vector vertex-mirror pattern: one zero-shuffle
+Spark job per sweep computing
+
+    cand_v = min over in-neighbors u of label_u     (np.minimum.reduceat)
+    label'_v = min(label_v, cand_v)                  (driver, dense numpy)
+
+Converges in O(diameter) sweeps like the DataFrame path
+(operators/components.connected_components); tests assert identical output.
+Same scale envelope as SpMV PageRank: broadcast = 8|V| bytes, use below
+~1e8 vertices; the frontier join path beyond.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..plans.checkpoint import IterationMetrics
+from .components import IterativeResult
+from .graph import Graph, invert
+from .pagerank_csr import BLOCK_SCHEMA
+
+
+def _build_blocks_und(g: Graph, num_blocks: int):
+    """Undirected simple edge set -> per-block buffers (weights unused)."""
+
+    def mk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        dst = pdf["dst"].to_numpy(np.int64)
+        order = np.argsort(dst, kind="stable")
+        dst = dst[order]
+        src = pdf["src"].to_numpy(np.int64)[order]
+        uniq, offsets = np.unique(dst, return_index=True)
+        usrcs, src_pos = np.unique(src, return_inverse=True)
+        return pd.DataFrame({
+            "block": [int(key[0])],
+            "dsts": [uniq.tobytes()],
+            "offsets": [offsets.astype(np.int64).tobytes()],
+            "usrcs": [usrcs.tobytes()],
+            "src_pos": [src_pos.astype(np.int32).tobytes()],
+            "w": [b""],
+        })
+
+    und = g.edges.unionAll(invert(g.edges)).dropDuplicates(["src", "dst"])
+    return (
+        und.withColumn("block",
+                       F.pmod(F.col("dst"), F.lit(num_blocks)).cast("int"))
+        .groupBy("block").applyInPandas(mk, schema=BLOCK_SCHEMA)
+    )
+
+
+def connected_components_spmv(g: Graph, max_iters: int = 200,
+                              num_blocks: int | None = None
+                              ) -> IterativeResult:
+    spark = g.spark
+    n = g.num_vertices
+    num_blocks = num_blocks or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    blocks = _build_blocks_und(g, num_blocks).persist()
+    blocks.count()
+    sc = spark.sparkContext
+
+    labels = np.arange(n, dtype=np.int64)
+    metrics: list[IterationMetrics] = []
+    it = 0
+    while it < max_iters:
+        it += 1
+        t0 = time.monotonic()
+        bc = sc.broadcast(labels)
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            x = bc.value
+            for pdf in batches:
+                ids, mins = [], []
+                for row in pdf.itertuples(index=False):
+                    uniq = np.frombuffer(row.dsts, dtype=np.int64)
+                    if len(uniq) == 0:
+                        continue
+                    offs = np.frombuffer(row.offsets, dtype=np.int64)
+                    usrcs = np.frombuffer(row.usrcs, dtype=np.int64)
+                    src_pos = np.frombuffer(row.src_pos, dtype=np.int32)
+                    ids.append(uniq)
+                    mins.append(np.minimum.reduceat(x[usrcs][src_pos], offs))
+                if not ids:
+                    yield pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                                        "cand": pd.Series([], dtype="int64")})
+                    continue
+                yield pd.DataFrame({"id": np.concatenate(ids),
+                                    "cand": np.concatenate(mins)})
+
+        out = blocks.mapInPandas(
+            kernel, schema="id long, cand long").toPandas()
+        bc.destroy()
+        new = labels.copy()
+        ids = out["id"].to_numpy(np.int64)
+        np.minimum.at(new, ids, out["cand"].to_numpy(np.int64))
+        changed = int((new != labels).sum())
+        metrics.append(IterationMetrics(
+            iteration=it, l1_residual=float(changed),
+            linf_residual=float(1 if changed else 0), rows_shuffled=0,
+            wall_s=time.monotonic() - t0,
+            extra={"changed": changed, "strategy": "spmv"}))
+        labels = new
+        if changed == 0:
+            break
+
+    blocks.unpersist()
+    df = spark.createDataFrame(pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64), "component": labels}))
+    return IterativeResult(df=df, iterations=it, metrics=metrics)

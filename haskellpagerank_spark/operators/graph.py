@@ -49,16 +49,18 @@ def from_edge_df(edges: DataFrame, num_vertices: int | None = None) -> Graph:
     is computed as max(id)+1 (dense-id contract, EdgeArray.hs:69-76) — one
     small aggregation job.
     """
-    edges = (
-        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-        .where(F.col("src") != F.col("dst"))
-    )
+    raw = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
     if num_vertices is None:
-        row = edges.select(
+        # sized from the max id seen BEFORE the self-loop drop — a vertex
+        # appearing only in a self-loop still occupies an id slot
+        # (frequencies sizes from the raw COO, EdgeArray.hs:69-76;
+        # self-loops are dropped during fill, EdgeArray.hs:84-85)
+        row = raw.select(
             F.greatest(F.max("src"), F.max("dst")).alias("m")
         ).first()
         num_vertices = int(row["m"]) + 1 if row and row["m"] is not None else 0
-    return Graph(edges=edges, num_vertices=num_vertices)
+    return Graph(edges=raw.where(F.col("src") != F.col("dst")),
+                 num_vertices=num_vertices)
 
 
 def from_pairs(spark: SparkSession, pairs: list[tuple[int, int]]) -> Graph:

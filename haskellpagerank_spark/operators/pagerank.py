@@ -201,16 +201,18 @@ def _superstep(ew: DataFrame, base: DataFrame, ranks: DataFrame,
         "id", "has_out", F.coalesce("msg", F.lit(0.0)).alias("msg")
     )
     if cfg.sink_mode == "redistribute":
-        # dangling mass of the PREVIOUS iterate, redistributed uniformly
-        dangling = float(
+        # dangling mass of the PREVIOUS iterate, redistributed uniformly —
+        # folded into the plan as a broadcast 1-row scalar so the whole
+        # superstep (join + agg + dangling + blend) is a single job
+        dangling = (
             ranks.join(base.where(~F.col("has_out")), "id")
-            .agg(F.sum("rank")).first()[0] or 0.0
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
         )
-        return joined.select(
+        return joined.crossJoin(F.broadcast(dangling)).select(
             "id",
             (
                 F.lit((1.0 - d) / n_total)
-                + F.lit(d) * (F.col("msg") + F.lit(dangling / n_total))
+                + F.lit(d) * (F.col("msg") + F.col("_dang") / F.lit(float(n_total)))
             ).alias("rank"),
         )
     # reflect / none: reference formula; outdeg==0 -> rank 0 (PageRank.hs:35)

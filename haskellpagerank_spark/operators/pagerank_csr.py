@@ -47,8 +47,8 @@ from ..plans.checkpoint import CheckpointManager, IterationMetrics
 from .graph import Graph, amend_sinks
 from .pagerank import PageRankConfig, PageRankResult, weighted_edges
 
-BLOCK_SCHEMA = ("block int, dsts binary, offsets binary, srcs binary, "
-                "w binary")
+BLOCK_SCHEMA = ("block int, dsts binary, offsets binary, usrcs binary, "
+                "src_pos binary, w binary")
 
 
 def build_csr_blocks(work: Graph, num_blocks: int) -> DataFrame:
@@ -65,11 +65,17 @@ def build_csr_blocks(work: Graph, num_blocks: int) -> DataFrame:
         src = pdf["src"].to_numpy(np.int64)[order]
         w = pdf["w"].to_numpy(np.float64)[order]
         uniq, offsets = np.unique(dst, return_index=True)
+        # localize the gather: store the block's distinct srcs once plus
+        # int32 positions into them — each sweep then gathers |usrcs| values
+        # from the broadcast vector and streams the (cache-resident) local
+        # array, instead of random-accessing the full x per edge
+        usrcs, src_pos = np.unique(src, return_inverse=True)
         return pd.DataFrame({
             "block": [int(key[0])],
             "dsts": [uniq.tobytes()],
             "offsets": [offsets.astype(np.int64).tobytes()],
-            "srcs": [src.tobytes()],
+            "usrcs": [usrcs.tobytes()],
+            "src_pos": [src_pos.astype(np.int32).tobytes()],
             "w": [w.tobytes()],
         })
 
@@ -91,11 +97,13 @@ def _spmv_job(blocks: DataFrame, x_bc) -> tuple[np.ndarray, np.ndarray]:
             for row in pdf.itertuples(index=False):
                 uniq = np.frombuffer(row.dsts, dtype=np.int64)
                 offs = np.frombuffer(row.offsets, dtype=np.int64)
-                srcs = np.frombuffer(row.srcs, dtype=np.int64)
+                usrcs = np.frombuffer(row.usrcs, dtype=np.int64)
+                src_pos = np.frombuffer(row.src_pos, dtype=np.int32)
                 w = np.frombuffer(row.w, dtype=np.float64)
                 if len(uniq) == 0:
                     continue
-                vals = w * x[srcs]
+                x_local = x[usrcs]          # one gather from the big vector
+                vals = w * x_local[src_pos]  # cache-resident inner gather
                 ids.append(uniq)
                 msgs.append(np.add.reduceat(vals, offs))
             if not ids:

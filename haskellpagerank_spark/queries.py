@@ -266,6 +266,27 @@ def _q_triangles_nation(spark, sf_dir):
     return triangle_count(nation_trade_graph(spark, sf_dir))
 
 
+def _q_prism_nation(spark, sf_dir):
+    """Incremental (activation-set) PageRank, reference semantics, on the
+    amended nation graph; rows-only driver check (fixpoint parity is
+    pytest-verified against the converged oracle)."""
+    from .operators.prism import run_pagerank_incremental
+    g = nation_trade_graph(spark, sf_dir)
+    res = run_pagerank_incremental(g, PageRankConfig(
+        damping=0.15, tol=1e-8, sink_mode="reflect", max_iters=300))
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _q_triangles_per_vertex_nation(spark, sf_dir):
+    from .operators.triangles import triangles_per_vertex
+    return triangles_per_vertex(nation_trade_graph(spark, sf_dir))
+
+
+def _q_undirected_nation(spark, sf_dir):
+    from .operators.graph import merge_undirected
+    return merge_undirected(nation_trade_graph(spark, sf_dir)).edges
+
+
 def _q_coloring_greedy_nation(spark, sf_dir):
     return C.greedy_coloring(nation_trade_graph(spark, sf_dir)).df
 
@@ -368,6 +389,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cc_cs": _q_cc_cs,
     "lp_nation_5": _q_lp_nation_5,
     "triangle_count_nation": _q_triangles_nation,
+    "prism_nation": _q_prism_nation,
+    "triangles_per_vertex_nation": _q_triangles_per_vertex_nation,
+    "undirected_edges_nation": _q_undirected_nation,
     "coloring_greedy_nation": _q_coloring_greedy_nation,
     "coloring_jp_nation": _q_coloring_jp_nation,
     "pages_linkgraph_pagerank": _q_pages_pagerank,
@@ -434,6 +458,25 @@ ORACLES: dict[str, str] = {
     "pagerank_cs_5": pagerank_sql(CS_EDGES_SQL, CS_VERTS_SQL, 5),
     "pagerank_nation_30": pagerank_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, 30),
     "cc_nation": CC_NATION_SQL,
+    "triangles_per_vertex_nation": f"""
+        WITH e0 AS ({NATION_EDGES_SQL}),
+        und AS (SELECT DISTINCT src, dst FROM
+                (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+        canon AS (SELECT src, dst FROM und WHERE src < dst),
+        tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                FROM canon e1 JOIN canon e2 ON e1.dst = e2.src
+                JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        stacked AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri),
+        cnt AS (SELECT id, COUNT(*) AS n FROM stacked GROUP BY 1)
+        SELECT v.id, COALESCE(cnt.n, 0) AS n_triangles
+        FROM ({NATION_VERTS_SQL}) v LEFT JOIN cnt ON v.id = cnt.id
+    """,
+    "undirected_edges_nation": f"""
+        WITH e0 AS ({NATION_EDGES_SQL})
+        SELECT DISTINCT src, dst FROM
+        (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+    """,
     "lp_nation_5": lp_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, 5),
     "triangle_count_nation": TRIANGLES_NATION_SQL,
     "token_stats": f"""

@@ -2,8 +2,10 @@
 
 Builds a seeded synthetic link graph once, then runs the identical PageRank
 job in FRESH JVMs at local[8] (N) and local[32] (4N), both strategies, plus
-the pages-extraction pipeline. Emits BENCH/scaling.json and rewrites the
-results table in BENCH/BASELINE.md.
+the pages-extraction pipeline. Emits BENCH/scaling.json and a results table in BENCH/scaling_auto.md.
+The curated, hardware-contextualized analysis lives in BENCH/BASELINE.md
+(produced from scripts/measure_all.sh records) — this script does not
+overwrite it.
 
 Usage: python scripts/scaling_bench.py [--n-vertices 4000000] [--avg-deg 10]
 """
@@ -97,17 +99,17 @@ def main() -> None:
             f"| {hi['extract_pages_per_sec']:,.0f} p/s ({hi['extract_wall_s']}s) "
             f"| **{e:.3f}** |")
 
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:
+    with open(os.path.join(REPO, "BENCH", "scaling_auto.json"), "w") as fh:
         json.dump(summary, fh, indent=2)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+    with open(os.path.join(REPO, "BENCH", "scaling_auto.md"), "w") as fh:
         fh.write(
-            "# BENCH/BASELINE.md — measured scaling evidence\n\n"
+            "# BENCH/scaling_auto.md — automated scaling run\n\n"
             "Protocol (BASELINE.md §3): identical job, identical seeded\n"
             "input, fresh JVM per level, local[8] = N vs local[32] = 4N,\n"
             "shuffle partitions scaled with cores. Efficiency =\n"
             "(tput_4N / tput_N) / 4. Machine: 32 cores, pyspark 4.1.2.\n\n"
             + "\n".join(lines) + "\n\n"
-            "Raw per-run records: BENCH/scaling.json.\n")
+            "Raw per-run records: BENCH/scaling_auto.json.\n")
     print(json.dumps(summary))
 
 
