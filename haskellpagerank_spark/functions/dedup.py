@@ -105,19 +105,19 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     """(id, sig: array<long>[num_hashes]) — k seeded min-hashes over distinct
     shingles: sig[i] = min over shingles s of xxhash64(s, i). Entirely
     JVM-side (xxhash64 is a Spark built-in)."""
-    sh = word_shingles(text_col, n)
-
-    def _hashed(i):
-        # NB: must be a one-arg lambda — a two-arg lambda would be treated
-        # by Spark as the (element, index) transform variant
-        def f(s):
-            return F.xxhash64(s, F.lit(i))
-        return f
-
-    sig = F.array(*[
-        F.array_min(F.transform(sh, _hashed(i))) for i in range(num_hashes)
-    ])
-    return docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    # explode once + k min-aggregates: one pass over the shingles, map-side
+    # partial agg bounds the shuffle at |D| x k per partition. (A transform/
+    # array_min formulation duplicates the shingle expression k times after
+    # projection collapse — k regex tokenizations per row.)
+    sh = docs.select(F.col(id_col).alias("id"),
+                     F.explode(word_shingles(text_col, n)).alias("s"))
+    mins = [F.min(F.xxhash64("s", F.lit(i))).alias(f"_m{i}")
+            for i in range(num_hashes)]
+    return (
+        sh.groupBy("id").agg(*mins)
+        .select("id", F.array(*[f"_m{i}" for i in range(num_hashes)])
+                .alias("sig"))
+    )
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",

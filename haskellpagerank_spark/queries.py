@@ -170,6 +170,73 @@ def lp_sql(edges_sql: str, verts_sql: str, iters: int) -> str:
             + f"\nSELECT id, label FROM l{iters}")
 
 
+def pagerank_reflect_sql(edges_sql: str, verts_sql: str, iters: int,
+                         damping: float = 0.15, round_to: int = 8) -> str:
+    """Unrolled reference-semantics power iteration: amendSinks edge
+    reflection (EdgeArray.hs:103-116), dconst = (1-d)/#non-sinks over the
+    amended graph, isolated vertices pinned to rank 0 (PageRank.hs:35),
+    init 1/|V| (Main.hs:138). Matches operators.pagerank reflect mode."""
+    ctes = [
+        f"verts AS MATERIALIZED ({verts_sql})",
+        f"e0 AS MATERIALIZED (SELECT src, dst FROM ({edges_sql}) WHERE src <> dst)",
+        "snk AS MATERIALIZED (SELECT id FROM verts "
+        "WHERE id NOT IN (SELECT src FROM e0))",
+        "refl AS MATERIALIZED (SELECT e.dst AS src, e.src AS dst "
+        "FROM e0 e JOIN snk ON e.dst = snk.id)",
+        "ae AS MATERIALIZED (SELECT * FROM e0 UNION ALL SELECT * FROM refl)",
+        "e AS MATERIALIZED (SELECT src, dst, COUNT(*) AS cnt FROM ae GROUP BY 1, 2)",
+        "deg AS MATERIALIZED (SELECT src, SUM(cnt) AS deg FROM e GROUP BY 1)",
+        "w AS MATERIALIZED (SELECT e.src, e.dst, CAST(e.cnt AS DOUBLE) / deg.deg AS w "
+        "FROM e JOIN deg ON e.src = deg.src)",
+        "ns AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg)",
+        "nv AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+        "r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nv) AS rank FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT w.dst AS id, SUM(w.w * r.rank) AS msg "
+            f"FROM w JOIN r{p} r ON w.src = r.id GROUP BY 1)"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT v.id, "
+            "CASE WHEN d.src IS NULL THEN 0.0 ELSE "
+            f"(1.0 - {damping}) / (SELECT n FROM ns) + {damping} * "
+            "COALESCE(m.msg, 0.0) END AS rank "
+            f"FROM verts v LEFT JOIN m{i} m ON v.id = m.id "
+            "LEFT JOIN deg d ON v.id = d.src)"
+        )
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, ROUND(rank, {round_to}) AS rank FROM r{iters}")
+
+
+def cc_minlabel_sql(edges_sql: str, verts_sql: str, iters: int) -> str:
+    """Unrolled synchronous min-label propagation over the undirected simple
+    edge set — the fixpoint (component = min reachable id) equals
+    operators.components.connected_components provided `iters` >= the
+    propagation diameter (assert convergence via l{k} == l{k-1} upstream)."""
+    ctes = [
+        f"verts AS MATERIALIZED ({verts_sql})",
+        f"e0 AS MATERIALIZED (SELECT src, dst FROM ({edges_sql}) WHERE src <> dst)",
+        "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0))",
+        "l0 AS MATERIALIZED (SELECT id, id AS label FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT u.dst AS id, MIN(l.label) AS cand "
+            f"FROM und u JOIN l{p} l ON u.src = l.id GROUP BY 1)"
+        )
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT l.id, "
+            f"LEAST(l.label, COALESCE(c.cand, l.label)) AS label "
+            f"FROM l{p} l LEFT JOIN c{i} c ON l.id = c.id)"
+        )
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, label AS component FROM l{iters}")
+
+
 CC_NATION_SQL = f"""
 WITH RECURSIVE
 e0 AS ({NATION_EDGES_SQL}),
@@ -376,6 +443,116 @@ def _q_events_user_daily(spark, sf_dir):
     )
 
 
+def _q_pagerank_spmv_cs_5(spark, sf_dir):
+    """CSR-block SpMV physical strategy, same logical query as
+    pagerank_cs_5 — proves the fast path is hash-exact vs the oracle."""
+    from .operators.pagerank_csr import run_pagerank_spmv
+    g = cs_graph(spark, sf_dir)
+    res = run_pagerank_spmv(g, PageRankConfig(
+        damping=DAMPING, num_iters=5, sink_mode="redistribute"))
+    return res.ranks.select("id", F.round("rank", 8).alias("rank"))
+
+
+def _q_pagerank_reflect_nation_5(spark, sf_dir):
+    """Reference semantics (amendSinks reflection, d=0.15, isolated -> 0,
+    init 1/|V|; EdgeArray.hs:103-116, PageRank.hs:35) on the nation graph."""
+    g = nation_trade_graph(spark, sf_dir)
+    res = run_pagerank(g, PageRankConfig(
+        damping=0.15, num_iters=5, sink_mode="reflect"))
+    return res.ranks.select("id", F.round("rank", 8).alias("rank"))
+
+
+def _q_pagerank_topk_nation(spark, sf_dir):
+    """Top-k ranked vertices (deterministic tie-break on rounded rank, id)."""
+    g = nation_trade_graph(spark, sf_dir)
+    res = run_pagerank(g, PageRankConfig(
+        damping=DAMPING, num_iters=30, sink_mode="redistribute"))
+    r = res.ranks.select("id", F.round("rank", 8).alias("rank"))
+    return r.orderBy(F.desc("rank"), F.asc("id")).limit(10)
+
+
+def _q_cc_spmv_cs(spark, sf_dir):
+    """CSR-block SpMV connected components, same oracle as cc_cs."""
+    from .operators.components_csr import connected_components_spmv
+    g = cs_graph(spark, sf_dir)
+    return connected_components_spmv(g).df
+
+
+def _q_coloring_d2_nation(spark, sf_dir):
+    return C.distance2_coloring(nation_trade_graph(spark, sf_dir)).df
+
+
+def _q_coloring_speculative_nation(spark, sf_dir):
+    return C.speculative_coloring(nation_trade_graph(spark, sf_dir)).df
+
+
+def _media(spark, sf_dir):
+    """Deterministic multimodal table derived from documents: payload =
+    utf-8 text bytes (opaque binary), typed metadata columns."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        ((F.col("doc_id") * 37) % 59000 + 1000).cast("int")
+        .alias("duration_ms"),
+    )
+
+
+def _q_multimodal_metadata(spark, sf_dir):
+    from .functions.multimodal import attach_media_metadata
+    return attach_media_metadata(_media(spark, sf_dir)).select(
+        "media_id", "kind", "payload_bytes", "payload_md5")
+
+
+def _q_multimodal_features(spark, sf_dir):
+    """Arrow-batched stub decode -> feature vectors; rows-only driver check
+    (exact values are pytest-asserted against the deterministic stub)."""
+    from .functions.multimodal import extract_features
+    feats = extract_features(_media(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        F.round(F.aggregate("features", F.lit(0.0),
+                            lambda a, x: a + x.cast("double")), 6)
+        .alias("feature_sum"))
+
+
+def _q_frame_sample_plan(spark, sf_dir):
+    from .functions.multimodal import frame_sample_plan
+    return frame_sample_plan(_media(spark, sf_dir), every_ms=1000).select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"))
+
+
+def _q_benchparse_normalize(spark, sf_dir):
+    """The reference's benchmarkparser pipeline (average -> min-max scale ->
+    L2 normalize; benchmarkparser/Main.hs:120-183) over an events-derived
+    (graph, method, mean) table."""
+    from .functions.benchparse import (average_results, feature_scale,
+                                       normalize_l2)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = ev.select(
+        F.col("event_type").alias("graph"),
+        (F.col("user_id") % 3).cast("string").alias("method"),
+        F.col("value").alias("mean"))
+    out = normalize_l2(feature_scale(average_results(df)))
+    return out.select(
+        "graph", "method", F.round("mean", 6).alias("mean"),
+        F.round("scaled", 6).alias("scaled"),
+        F.round("normalized", 6).alias("normalized"))
+
+
+def _q_events_hourly_windows(spark, sf_dir):
+    """Tumbling-window per-type aggregate (streaming.ingest's windowed agg
+    shape, run in batch mode for the oracle comparison)."""
+    from .streaming.ingest import windowed_event_counts
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = windowed_event_counts(ev, window="1 hour")
+    return out.select(
+        "window_start", "window_end", "event_type", "n_events",
+        F.round("total_value", 6).alias("total_value"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "out_degree_topk": _q_out_degree_topk,
     "degree_histogram": _q_degree_histogram,
@@ -407,6 +584,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_bruteforce": _q_ann_topk,
     "ann_lsh_pairs": _q_ann_lsh,
     "events_user_daily": _q_events_user_daily,
+    "pagerank_spmv_cs_5": _q_pagerank_spmv_cs_5,
+    "pagerank_reflect_nation_5": _q_pagerank_reflect_nation_5,
+    "pagerank_topk_nation": _q_pagerank_topk_nation,
+    "cc_spmv_cs": _q_cc_spmv_cs,
+    "coloring_d2_nation": _q_coloring_d2_nation,
+    "coloring_speculative_nation": _q_coloring_speculative_nation,
+    "multimodal_metadata": _q_multimodal_metadata,
+    "multimodal_features": _q_multimodal_features,
+    "frame_sample_plan": _q_frame_sample_plan,
+    "benchparse_normalize": _q_benchparse_normalize,
+    "events_hourly_windows": _q_events_hourly_windows,
 }
 
 
@@ -590,5 +778,58 @@ ORACLES: dict[str, str] = {
         SELECT user_id, date_trunc('day', ts) AS day,
                COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
         FROM events GROUP BY 1, 2
+    """,
+    "pagerank_spmv_cs_5": pagerank_sql(CS_EDGES_SQL, CS_VERTS_SQL, 5),
+    "pagerank_reflect_nation_5": pagerank_reflect_sql(
+        NATION_EDGES_SQL, NATION_VERTS_SQL, 5),
+    "pagerank_topk_nation": (
+        "SELECT id, rank FROM ("
+        + pagerank_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, 30)
+        + ") ORDER BY rank DESC, id ASC LIMIT 10"
+    ),
+    "cc_cs": cc_minlabel_sql(CS_EDGES_SQL, CS_VERTS_SQL, 20),
+    "cc_spmv_cs": cc_minlabel_sql(CS_EDGES_SQL, CS_VERTS_SQL, 20),
+    "multimodal_metadata": """
+        SELECT doc_id AS media_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               octet_length(encode(text)) AS payload_bytes,
+               md5(text) AS payload_md5
+        FROM documents
+    """,
+    "frame_sample_plan": """
+        WITH m AS (SELECT doc_id AS media_id,
+                          CAST((doc_id * 37) % 59000 + 1000 AS BIGINT)
+                              AS duration_ms
+                   FROM documents
+                   WHERE CAST(doc_id % 3 AS INT) = 2)
+        SELECT media_id, unnest(range(0, duration_ms, 1000)) AS frame_ts_ms
+        FROM m
+    """,
+    "benchparse_normalize": """
+        WITH b AS (SELECT event_type AS graph,
+                          CAST(user_id % 3 AS VARCHAR) AS method,
+                          value AS mean
+                   FROM events),
+        a AS (SELECT graph, method, AVG(mean) AS mean FROM b GROUP BY 1, 2),
+        s AS (SELECT *,
+                     MIN(mean) OVER (PARTITION BY graph) AS lo,
+                     MAX(mean) OVER (PARTITION BY graph) AS hi,
+                     SQRT(SUM(mean * mean) OVER (PARTITION BY graph)) AS nrm
+              FROM a)
+        SELECT graph, method, ROUND(mean, 6) AS mean,
+               ROUND(CASE WHEN hi = lo THEN 0.0
+                          ELSE (mean - lo) / (hi - lo) END, 6) AS scaled,
+               ROUND(CASE WHEN nrm = 0 THEN 0.0 ELSE mean / nrm END, 6)
+                   AS normalized
+        FROM s
+    """,
+    "events_hourly_windows": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+                   AS window_end,
+               event_type, COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS total_value
+        FROM events GROUP BY 1, 2, 3
     """,
 }
