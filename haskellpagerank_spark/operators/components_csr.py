@@ -21,7 +21,6 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import functions as F
 
 from ..plans.checkpoint import IterationMetrics
 from .components import IterativeResult
@@ -30,17 +29,31 @@ from .pagerank_csr import BLOCK_SCHEMA
 
 
 def _build_blocks_und(g: Graph, num_blocks: int):
-    """Undirected simple edge set -> per-block buffers (weights unused)."""
+    """Undirected edge set -> per-block buffers in ONE shuffle: union with
+    the transposed edges (a projection), hash-repartition by dst, and dedup
+    (src, dst) pairs inside the whole-partition numpy kernel — no
+    dropDuplicates exchange, no groupBy machinery (weights unused: min is
+    idempotent under duplicates anyway, dedup just shrinks the buffers)."""
 
-    def mk(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        dst = pdf["dst"].to_numpy(np.int64)
-        order = np.argsort(dst, kind="stable")
-        dst = dst[order]
-        src = pdf["src"].to_numpy(np.int64)[order]
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        srcs, dsts = [], []
+        for p in batches:
+            srcs.append(p["src"].to_numpy(np.int64))
+            dsts.append(p["dst"].to_numpy(np.int64))
+        if sum(map(len, srcs)) == 0:
+            return
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        order = np.lexsort((src, dst))
+        src, dst = src[order], dst[order]
+        head = np.empty(len(dst), dtype=bool)
+        head[0] = True
+        head[1:] = (dst[1:] != dst[:-1]) | (src[1:] != src[:-1])
+        src, dst = src[head], dst[head]
         uniq, offsets = np.unique(dst, return_index=True)
         usrcs, src_pos = np.unique(src, return_inverse=True)
-        return pd.DataFrame({
-            "block": [int(key[0])],
+        yield pd.DataFrame({
+            "block": [-1],
             "dsts": [uniq.tobytes()],
             "offsets": [offsets.astype(np.int64).tobytes()],
             "usrcs": [usrcs.tobytes()],
@@ -48,11 +61,10 @@ def _build_blocks_und(g: Graph, num_blocks: int):
             "w": [b""],
         })
 
-    und = g.edges.unionAll(invert(g.edges)).dropDuplicates(["src", "dst"])
+    und = g.edges.select("src", "dst").unionAll(invert(g.edges))
     return (
-        und.withColumn("block",
-                       F.pmod(F.col("dst"), F.lit(num_blocks)).cast("int"))
-        .groupBy("block").applyInPandas(mk, schema=BLOCK_SCHEMA)
+        und.repartition(num_blocks, "dst")
+        .mapInPandas(kernel, schema=BLOCK_SCHEMA)
     )
 
 

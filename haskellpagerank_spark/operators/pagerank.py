@@ -91,10 +91,10 @@ def weighted_edges(g: Graph) -> DataFrame:
     outdeg(src). SUM(w * rank(src)) over in-edges then equals the reference's
     duplicate-aware gather (PageRankStep.hs:38-42)."""
     counts = g.edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
-    deg = g.edges.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("deg")
-    )
-    return counts.join(deg, counts.src == deg.id).select(
+    # derive degrees from the deduped counts — one pass over the raw edge
+    # multiset instead of two (the second agg reads |unique pairs| rows)
+    deg = counts.groupBy("src").agg(F.sum("cnt").alias("deg"))
+    return counts.join(deg, "src").select(
         "src", "dst", (F.col("cnt") / F.col("deg")).alias("w")
     )
 

@@ -45,45 +45,62 @@ from pyspark.sql import functions as F
 
 from ..plans.checkpoint import CheckpointManager, IterationMetrics
 from .graph import Graph, amend_sinks
-from .pagerank import PageRankConfig, PageRankResult, weighted_edges
+from .pagerank import PageRankConfig, PageRankResult
 
 BLOCK_SCHEMA = ("block int, dsts binary, offsets binary, usrcs binary, "
                 "src_pos binary, w binary")
 
 
 def build_csr_blocks(work: Graph, num_blocks: int) -> DataFrame:
-    """One-time physical build: weighted edges -> per-block CSR buffers.
+    """One-time physical build: ONE shuffle of the raw (src, dst) pairs,
+    hash-partitioned by dst (no two partitions share a dst, so per-block
+    partial sums ARE the final sums), then a whole-partition numpy kernel
+    that run-length-dedups duplicate edges into float multiplicities.
 
-    Partition key is ``dst % num_blocks`` so no two blocks share a dst —
-    per-block partial sums ARE the final sums (no combine shuffle).
+    The 1/outdeg weighting is NOT stored: each sweep broadcasts x/outdeg
+    (the dense degree vector already lives on the driver), which removes
+    the groupBy(src,dst) exchange and the degree join a weighted-edge build
+    would need — build cost drops from three |E| exchanges to one.
     """
 
-    def mk(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        dst = pdf["dst"].to_numpy(np.int64)
-        order = np.argsort(dst, kind="stable")
-        dst = dst[order]
-        src = pdf["src"].to_numpy(np.int64)[order]
-        w = pdf["w"].to_numpy(np.float64)[order]
-        uniq, offsets = np.unique(dst, return_index=True)
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        srcs, dsts = [], []
+        for p in batches:
+            srcs.append(p["src"].to_numpy(np.int64))
+            dsts.append(p["dst"].to_numpy(np.int64))
+        total = sum(map(len, srcs))
+        if total == 0:
+            return
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        order = np.lexsort((src, dst))
+        src, dst = src[order], dst[order]
+        # run-length encode duplicate (dst, src) pairs -> multiplicity w
+        head = np.empty(len(dst), dtype=bool)
+        head[0] = True
+        head[1:] = (dst[1:] != dst[:-1]) | (src[1:] != src[:-1])
+        pidx = np.flatnonzero(head)
+        cnt = np.diff(np.append(pidx, len(dst))).astype(np.float64)
+        src_u, dst_u = src[pidx], dst[pidx]
+        uniq, offsets = np.unique(dst_u, return_index=True)
         # localize the gather: store the block's distinct srcs once plus
         # int32 positions into them — each sweep then gathers |usrcs| values
         # from the broadcast vector and streams the (cache-resident) local
         # array, instead of random-accessing the full x per edge
-        usrcs, src_pos = np.unique(src, return_inverse=True)
-        return pd.DataFrame({
-            "block": [int(key[0])],
+        usrcs, src_pos = np.unique(src_u, return_inverse=True)
+        yield pd.DataFrame({
+            "block": [-1],
             "dsts": [uniq.tobytes()],
             "offsets": [offsets.astype(np.int64).tobytes()],
             "usrcs": [usrcs.tobytes()],
             "src_pos": [src_pos.astype(np.int32).tobytes()],
-            "w": [w.tobytes()],
+            "w": [cnt.tobytes()],
         })
 
-    ew = weighted_edges(work)
     return (
-        ew.withColumn("block", F.pmod(F.col("dst"), F.lit(num_blocks)).cast("int"))
-        .groupBy("block")
-        .applyInPandas(mk, schema=BLOCK_SCHEMA)
+        work.edges.select("src", "dst")
+        .repartition(num_blocks, "dst")
+        .mapInPandas(kernel, schema=BLOCK_SCHEMA)
     )
 
 
@@ -172,7 +189,10 @@ def run_pagerank_spmv(g: Graph, cfg: PageRankConfig | None = None,
     while it < total_iters:
         it += 1
         t0 = time.monotonic()
-        bc = sc.broadcast(x)
+        # fold the 1/outdeg weighting into the broadcast (blocks store raw
+        # multiplicities): msg_v = sum w_uv * x_u / outdeg_u
+        y = np.divide(x, outdeg, out=np.zeros(n), where=has_out)
+        bc = sc.broadcast(y)
         ids, msgs = _spmv_job(blocks, bc)
         bc.destroy()
         msg = np.zeros(n)

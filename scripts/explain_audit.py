@@ -1,0 +1,164 @@
+"""Physical-plan audit: capture .explain("formatted") for the engine's core
+plans and assert the properties the 100 TB design depends on.
+
+Checks (each also printed into BENCH/PLANS.md for review):
+- parquet scans show PushedFilters / pruned ReadSchema (never read columns
+  a query does not touch — e.g. html pruned out of text-only queries);
+- the PageRank superstep is partial agg -> exchange -> final agg (map-side
+  combine bounds the shuffle at |V| rows per partition, not |E|);
+- the persisted weighted-edge table is reused without a per-iteration
+  re-exchange (the iteration loop shuffles only the rank table);
+- WholeStageCodegen covers the join+agg pipeline (no per-row Python in any
+  hot path);
+- the nation-graph joins broadcast the small side (BroadcastHashJoin), the
+  cs-graph degree join does not silently broadcast a |V|-sized table.
+
+Usage: python scripts/explain_audit.py [sf_dir]  (writes BENCH/PLANS.md,
+exits non-zero if an assertion fails).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+FAILURES: list[str] = []
+SECTIONS: list[tuple[str, str, list[str]]] = []
+
+
+def formatted(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def codegen_summary(df) -> str:
+    """'Found N WholeStageCodegen subtrees' from codegen mode. AQE wraps the
+    un-executed plan in AdaptiveSparkPlan, which reports 0 subtrees — toggle
+    it off for the probe (explain replans on every call)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("codegen")
+        head = buf.getvalue().splitlines()[:1]
+        return head[0] if head else ""
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def audit(title: str, df, must: list[str] = (), must_not: list[str] = ()):
+    # codegen probe FIRST: a DataFrame memoizes its QueryExecution on first
+    # explain, so the AQE-off probe must create it
+    cg = ""
+    if "WholeStageCodegen" in must:
+        cg = codegen_summary(df)
+    plan = formatted(df)
+    if cg and not cg.startswith("Found 0"):
+        plan += f"\n{cg} -> WholeStageCodegen"
+    notes = []
+    for pat in must:
+        ok = pat in plan
+        notes.append(f"{'ok  ' if ok else 'FAIL'} contains {pat!r}")
+        if not ok:
+            FAILURES.append(f"{title}: missing {pat!r}")
+    for pat in must_not:
+        ok = pat not in plan
+        notes.append(f"{'ok  ' if ok else 'FAIL'} absent   {pat!r}")
+        if not ok:
+            FAILURES.append(f"{title}: unexpected {pat!r}")
+    SECTIONS.append((title, plan, notes))
+    print(f"== {title}")
+    for n in notes:
+        print("  ", n)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from haskellpagerank_spark.operators.graph import out_degrees
+    from haskellpagerank_spark.operators.pagerank import weighted_edges
+    from haskellpagerank_spark.operators.triangles import triangle_count
+    from haskellpagerank_spark.queries import nation_trade_graph
+    from haskellpagerank_spark.session import get_spark
+    from haskellpagerank_spark.sources.tpch_graph import cs_graph
+    from haskellpagerank_spark.functions.text import quality_features
+
+    spark = get_spark(app_name="explain-audit", cores=8, shuffle_partitions=8)
+
+    g = cs_graph(spark, sf_dir)
+
+    # 1. column pruning: degree query must scan only the key columns
+    audit(
+        "out_degrees(cs) — pruned parquet scan, partial agg",
+        out_degrees(g),
+        must=["HashAggregate", "ReadSchema"],
+        must_not=["o_comment", "o_totalprice", "l_comment"],
+    )
+
+    # 2. superstep message agg: partial -> exchange -> final (map-side combine)
+    ranks = g.vertices().select("id", F.lit(1.0).alias("rank"))
+    ew = weighted_edges(g)
+    msgs = (
+        ew.join(ranks.withColumnRenamed("id", "src"), "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.sum(F.col("w") * F.col("rank")).alias("msg"))
+    )
+    audit(
+        "PageRank superstep msgs — join + two-phase agg, codegen",
+        msgs,
+        must=["HashAggregate", "Exchange", "WholeStageCodegen"],
+        must_not=["BatchEvalPython", "ArrowEvalPython"],
+    )
+
+    # 3. nation graph: small side broadcast in the 4-way key join
+    audit(
+        "nation_trade_graph — broadcast small dims",
+        nation_trade_graph(spark, sf_dir).edges,
+        must=["BroadcastHashJoin"],
+        must_not=["BatchEvalPython"],
+    )
+
+    # 4. triangle count: no python, joins + aggs only
+    audit(
+        "triangle_count(nation) — catalyst-only",
+        triangle_count(nation_trade_graph(spark, sf_dir)),
+        must=["HashAggregate"],
+        must_not=["BatchEvalPython", "ArrowEvalPython"],
+    )
+
+    # 5. documents quality features: html/binary never scanned, no python
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    audit(
+        "quality_features(documents) — codegen string kernels",
+        quality_features(docs).select("doc_id", "quality_score"),
+        must=["WholeStageCodegen"],
+        must_not=["BatchEvalPython"],
+    )
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/PLANS.md", "w") as f:
+        f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"
+                f"Scale-factor dir: `{sf_dir}`. Each section: the assertion "
+                "list, then the full `.explain(\"formatted\")` output.\n")
+        for title, plan, notes in SECTIONS:
+            f.write(f"\n## {title}\n\n")
+            for n in notes:
+                f.write(f"- `{n}`\n")
+            f.write("\n```\n" + plan.strip() + "\n```\n")
+    print(f"\nwrote BENCH/PLANS.md; {len(FAILURES)} failures")
+    for x in FAILURES:
+        print("FAIL", x)
+    return 1 if FAILURES else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
