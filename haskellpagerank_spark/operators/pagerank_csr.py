@@ -51,7 +51,9 @@ BLOCK_SCHEMA = ("block int, dsts binary, offsets binary, usrcs binary, "
                 "src_pos binary, w binary")
 
 
-def build_csr_blocks(work: Graph, num_blocks: int) -> DataFrame:
+def build_csr_blocks(work: Graph, num_blocks: int,
+                     hub_ids: "np.ndarray | None" = None,
+                     salt_k: int = 8) -> DataFrame:
     """One-time physical build: ONE shuffle of the raw (src, dst) pairs,
     hash-partitioned by dst (no two partitions share a dst, so per-block
     partial sums ARE the final sums), then a whole-partition numpy kernel
@@ -61,6 +63,14 @@ def build_csr_blocks(work: Graph, num_blocks: int) -> DataFrame:
     (the dense degree vector already lives on the driver), which removes
     the groupBy(src,dst) exchange and the degree join a weighted-edge build
     would need — build cost drops from three |E| exchanges to one.
+
+    Skew (explicit): web graphs have mega-hubs whose in-edges would land
+    in a single block under plain dst-hash partitioning. ``hub_ids`` (dsts
+    whose in-degree exceeds the caller's threshold) get a salt column
+    ``xxhash64(src) % salt_k``, splitting each hub's rows across up to
+    ``salt_k`` blocks; the driver combine sums per-dst partials with
+    ``np.bincount``, so duplicate dsts across blocks are exact. The salted
+    shuffle key is (dst, salt) — the range+hash hybrid of the design doc.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -97,11 +107,22 @@ def build_csr_blocks(work: Graph, num_blocks: int) -> DataFrame:
             "w": [cnt.tobytes()],
         })
 
-    return (
-        work.edges.select("src", "dst")
-        .repartition(num_blocks, "dst")
-        .mapInPandas(kernel, schema=BLOCK_SCHEMA)
-    )
+    edges = work.edges.select("src", "dst")
+    if hub_ids is not None and len(hub_ids):
+        spark = edges.sparkSession
+        hubs = spark.createDataFrame(
+            pd.DataFrame({"dst": np.asarray(hub_ids, dtype=np.int64),
+                          "_hub": np.ones(len(hub_ids), dtype=bool)}))
+        edges = (
+            edges.join(F.broadcast(hubs), "dst", "left")
+            .withColumn("salt", F.when(
+                F.col("_hub").isNotNull(),
+                F.pmod(F.xxhash64("src"), F.lit(salt_k))).otherwise(F.lit(0)))
+        )
+        part = edges.repartition(num_blocks, "dst", "salt")
+    else:
+        part = edges.repartition(num_blocks, "dst")
+    return part.select("src", "dst").mapInPandas(kernel, schema=BLOCK_SCHEMA)
 
 
 def _spmv_job(blocks: DataFrame, x_bc) -> tuple[np.ndarray, np.ndarray]:
@@ -135,9 +156,12 @@ def _spmv_job(blocks: DataFrame, x_bc) -> tuple[np.ndarray, np.ndarray]:
 
 
 def run_pagerank_spmv(g: Graph, cfg: PageRankConfig | None = None,
-                      num_blocks: int | None = None) -> PageRankResult:
+                      num_blocks: int | None = None,
+                      hub_threshold: int | None = None) -> PageRankResult:
     """PageRank with CSR-block SpMV supersteps (same semantics/flags as
-    run_pagerank; see PageRankConfig)."""
+    run_pagerank; see PageRankConfig). ``hub_threshold``: in-degree above
+    which a dst is salted across blocks (None -> a quarter of the per-block
+    edge budget, min 65536; 0 disables the skew probe)."""
     cfg = cfg or PageRankConfig()
     spark = g.spark
     n = g.num_vertices
@@ -149,7 +173,20 @@ def run_pagerank_spmv(g: Graph, cfg: PageRankConfig | None = None,
     num_blocks = num_blocks or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    blocks = build_csr_blocks(work, num_blocks).persist()
+    # skew probe: salt mega-hub dsts whose in-edges would swamp one block
+    hub_ids = None
+    if hub_threshold != 0:
+        indeg_pdf = (
+            work.edges.groupBy(F.col("dst").alias("id"))
+            .agg(F.count(F.lit(1)).alias("deg")).toPandas()
+        )
+        if hub_threshold is None:
+            e_probe = int(indeg_pdf["deg"].sum())
+            hub_threshold = max(65536, e_probe // max(num_blocks, 1) // 4)
+        hub_ids = indeg_pdf.loc[indeg_pdf["deg"] > hub_threshold,
+                                "id"].to_numpy(np.int64)
+
+    blocks = build_csr_blocks(work, num_blocks, hub_ids=hub_ids).persist()
     blocks.count()  # materialize once
 
     deg_pdf = (
@@ -195,8 +232,9 @@ def run_pagerank_spmv(g: Graph, cfg: PageRankConfig | None = None,
         bc = sc.broadcast(y)
         ids, msgs = _spmv_job(blocks, bc)
         bc.destroy()
-        msg = np.zeros(n)
-        msg[ids] = msgs
+        # bincount sums per-dst partials — exact when salted hubs span blocks
+        msg = (np.bincount(ids, weights=msgs, minlength=n)
+               if len(ids) else np.zeros(n))
         if cfg.sink_mode == "redistribute":
             dangling = float(x[~has_out].sum())
             new = (1.0 - d) / n + d * (msg + dangling / n)

@@ -84,21 +84,96 @@ def page_url(page_id: int, num_sites: int) -> str:
     return f"https://site{page_id % num_sites:04d}.example/p{page_id:08d}"
 
 
+def _page_urls(ids: np.ndarray, num_sites: int) -> np.ndarray:
+    """Vectorized page_url: https://site{id%sites:04d}.example/p{id:08d}."""
+    site = np.char.zfill((ids % num_sites).astype("U"), 4)
+    page = np.char.zfill(ids.astype("U"), 8)
+    return np.char.add(np.char.add(np.char.add(
+        "https://site", site), ".example/p"), page)
+
+
 def _gen_batch(ids: np.ndarray, num_pages: int, seed: int, num_sites: int,
                avg_links: int, hub_count: int, hub_prob_mod: int) -> pd.DataFrame:
-    """Generate one Arrow batch of pages; pure function of (seed, ids)."""
+    """Generate one Arrow batch of pages — vectorized (no per-row Python
+    except the final per-page string joins, which are C-level str.join over
+    grouped arrays). Pure function of (seed, ids); byte-identical to the
+    row-wise reference implementation below (asserted in tests)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    b = len(ids)
+    if b == 0:
+        return pd.DataFrame(columns=["url", "warc_ts", "html", "text", "lang"])
+    base_ts = np.datetime64("2025-01-01T00:00:00")
+    h = _mix(seed, ids, 1)
+
+    # ---- words: flatten per-page arange(2, 2+n_words) into one hash call
+    n_words = (20 + h % np.uint64(80)).astype(np.int64)
+    widx_page = np.repeat(np.arange(b), n_words)
+    starts = np.concatenate(([0], np.cumsum(n_words)[:-1]))
+    local = np.arange(int(n_words.sum())) - np.repeat(starts, n_words)
+    widx = _mix(seed, ids[widx_page], local + 2) % np.uint64(len(_VOCAB))
+    vocab_arr = np.array(_VOCAB)
+    words_flat = vocab_arr[widx.astype(np.int64)]
+    body = pd.Series(words_flat).groupby(widx_page).agg(" ".join).to_numpy()
+    first_word = words_flat[starts]
+
+    # ---- links: same flattening; targets mix hubs and uniform
+    n_links = (1 + _mix(seed, ids, 999_001) % np.uint64(2 * avg_links)
+               ).astype(np.int64)
+    lpage = np.repeat(np.arange(b), n_links)
+    lstarts = np.concatenate(([0], np.cumsum(n_links)[:-1]))
+    llocal = np.arange(int(n_links.sum())) - np.repeat(lstarts, n_links)
+    lh = _mix(seed, ids[lpage], llocal + 1000)
+    is_hub = (lh % np.uint64(hub_prob_mod)) == 0
+    tgt = np.where(is_hub, lh % np.uint64(max(hub_count, 1)),
+                   _mix(lh, 7) % np.uint64(num_pages)).astype(np.int64)
+    anchors = np.char.add(np.char.add(np.char.add(np.char.add(
+        '<a href="', _page_urls(tgt, num_sites)), '">'),
+        vocab_arr[tgt % len(_VOCAB)]), "</a> ")
+    hrefs = pd.Series(anchors).groupby(lpage).agg("".join).to_numpy()
+
+    # ---- assemble html/text/metadata columns (all vectorized)
+    title = np.char.add(np.char.add(np.char.add(
+        "page ", ids.astype("U")), " "), first_word)
+    html = pd.Series(
+        np.char.add(np.char.add(np.char.add(np.char.add(np.char.add(
+            np.char.add(np.char.add(
+                "<html><head><title>", title), "</title></head><body><h1>"),
+            title), "</h1><p>"), body.astype("U")), "</p> "),
+            np.char.add(hrefs.astype("U"), "</body></html>")))
+    text = (html.str.replace(_TAG_RE, " ", regex=True)
+            .str.replace(_WS_RE, " ", regex=True).str.strip())
+    ts = (base_ts
+          + ((ids % num_sites) * 3600 + ids // num_sites)
+          .astype("timedelta64[s]"))
+    return pd.DataFrame({
+        "url": _page_urls(ids, num_sites),
+        "warc_ts": pd.to_datetime(ts),
+        "html": [s.encode("utf-8") for s in html],
+        "text": text.to_numpy(),
+        "lang": np.array(_LANGS)[(h % np.uint64(len(_LANGS))).astype(np.int64)],
+    })
+
+
+def _gen_batch_rowwise(ids: np.ndarray, num_pages: int, seed: int,
+                       num_sites: int, avg_links: int, hub_count: int,
+                       hub_prob_mod: int) -> pd.DataFrame:
+    """Row-wise reference implementation of the generator (semantics
+    documentation + parity oracle for the vectorized batch above)."""
     rows = []
     base_ts = np.datetime64("2025-01-01T00:00:00")
     for i in ids.tolist():
+        # NB: every modulo on a uint64 value uses a np.uint64 modulus —
+        # `uint64 % python-int` silently promotes through float64 in numpy
+        # and rounds 64-bit hashes before the mod
         h = int(_mix(seed, i, 1)[0])
         n_words = 20 + h % 80
-        widx = _mix(seed, i, np.arange(2, 2 + n_words)) % len(_VOCAB)
+        widx = _mix(seed, i, np.arange(2, 2 + n_words)) % np.uint64(len(_VOCAB))
         words = [_VOCAB[int(w)] for w in widx]
-        n_links = 1 + int(_mix(seed, i, 999_001)[0] % (2 * avg_links))
+        n_links = 1 + int(_mix(seed, i, 999_001)[0] % np.uint64(2 * avg_links))
         lh = _mix(seed, i, np.arange(1000, 1000 + n_links))
-        is_hub = (lh % hub_prob_mod) == 0
-        tgt = np.where(is_hub, lh % max(hub_count, 1),
-                       _mix(lh, 7) % num_pages).astype(np.int64)
+        is_hub = (lh % np.uint64(hub_prob_mod)) == 0
+        tgt = np.where(is_hub, lh % np.uint64(max(hub_count, 1)),
+                       _mix(lh, 7) % np.uint64(num_pages)).astype(np.int64)
         hrefs = "".join(
             f'<a href="{page_url(int(t), num_sites)}">{_VOCAB[int(t) % len(_VOCAB)]}</a> '
             for t in tgt
@@ -249,7 +324,11 @@ def build_graph(pages: DataFrame) -> tuple[Graph, DataFrame]:
     construction). Dangling urls (linked-to but never crawled) become sink
     vertices — exactly the reference's dense-space semantics.
     """
-    raw = extract_links(pages)
+    # persist raw: encode_vertices reads it twice (src ∪ dst) and
+    # encode_edges once more — unpersisted, generation+extraction would
+    # recompute per pass (at production scale this is a parquet checkpoint
+    # of the extracted edge list, not an in-memory cache)
+    raw = extract_links(pages).persist()
     vertices = encode_vertices(raw).persist()
     n = vertices.count()
     edges = encode_edges(raw, vertices)

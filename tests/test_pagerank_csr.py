@@ -75,3 +75,19 @@ def test_auto_picks_spmv_for_small_graphs(spark):
     res = run_pagerank_auto(g, PageRankConfig(
         damping=0.85, num_iters=3, sink_mode="redistribute"))
     assert res.metrics[0].extra.get("strategy") == "spmv"
+
+
+def test_spmv_salted_hubs_identical(spark):
+    """Force the skew path: hub_threshold=1 salts every dst with in-degree
+    > 1 across blocks; the bincount combine must keep results identical to
+    the unsalted run and the join path."""
+    pairs = FIXTURE_EDGES["hub"] + FIXTURE_EDGES["doubleSquare"]
+    g = from_pairs(spark, pairs)
+    cfg = PageRankConfig(damping=0.85, num_iters=6, sink_mode="redistribute")
+    salted = _ranks(run_pagerank_spmv(g, cfg, hub_threshold=1),
+                    g.num_vertices)
+    plain = _ranks(run_pagerank_spmv(g, cfg, hub_threshold=0),
+                   g.num_vertices)
+    joined = _ranks(run_pagerank(g, cfg), g.num_vertices)
+    np.testing.assert_allclose(salted, plain, rtol=1e-12, atol=1e-16)
+    np.testing.assert_allclose(salted, joined, rtol=1e-12, atol=1e-16)

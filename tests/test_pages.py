@@ -88,3 +88,19 @@ def test_pagerank_on_generated_pages(spark, small_pages):
                                          tol_norm="l1", max_iters=100))
     total = res.ranks.agg(F.sum("rank")).first()[0]
     assert abs(total - 1.0) < 1e-6
+
+
+def test_vectorized_generator_matches_rowwise_reference():
+    """The Arrow-batch generator is byte-identical (html, text, url, ts,
+    lang) to the row-wise reference implementation — exact uint64 modulo
+    on both sides (numpy promotes uint64 % python-int through float64)."""
+    import numpy as np
+    from haskellpagerank_spark.sources.pages import (_gen_batch,
+                                                     _gen_batch_rowwise)
+    ids = np.array([0, 1, 7, 512, 31337, 54321, 99999], dtype=np.int64)
+    a = _gen_batch(ids, 100_000, 42, 1000, 8, 100, 5)
+    b = _gen_batch_rowwise(ids, 100_000, 42, 1000, 8, 100, 5)
+    for c in ["url", "text", "lang"]:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+    assert all(x == y for x, y in zip(a["html"], b["html"]))
+    assert (a["warc_ts"].to_numpy() == b["warc_ts"].to_numpy()).all()
