@@ -78,11 +78,16 @@ def main() -> None:
     _consume(res5j.ranks)
     queries["pagerank_5iter_joinpath"] = round(time.monotonic() - t0, 3)
 
-    # -- connected components on the cs graph
+    # -- connected components on the cs graph (both physical strategies)
     t0 = time.monotonic()
     cc = connected_components(g)
     _consume(cc.df)
     queries["connected_components"] = round(time.monotonic() - t0, 3)
+    from haskellpagerank_spark.operators.components_csr import (
+        connected_components_spmv)
+    t0 = time.monotonic()
+    _consume(connected_components_spmv(g).df)
+    queries["connected_components_spmv"] = round(time.monotonic() - t0, 3)
 
     # -- label propagation, 5 sweeps
     t0 = time.monotonic()

@@ -112,7 +112,20 @@ def connected_components_spmv(g: Graph, max_iters: int = 200,
         bc.destroy()
         new = labels.copy()
         ids = out["id"].to_numpy(np.int64)
-        np.minimum.at(new, ids, out["cand"].to_numpy(np.int64))
+        if len(ids):
+            # sorted run-min then a vectorized compare-update — orders of
+            # magnitude faster than np.minimum.at (unbuffered ufunc.at)
+            cands = out["cand"].to_numpy(np.int64)
+            order = np.argsort(ids, kind="stable")
+            ids_s, c_s = ids[order], cands[order]
+            head = np.empty(len(ids_s), dtype=bool)
+            head[0] = True
+            head[1:] = ids_s[1:] != ids_s[:-1]
+            starts = np.flatnonzero(head)
+            mins = np.minimum.reduceat(c_s, starts)
+            uids = ids_s[starts]
+            sel = mins < new[uids]
+            new[uids[sel]] = mins[sel]
         changed = int((new != labels).sum())
         metrics.append(IterationMetrics(
             iteration=it, l1_residual=float(changed),

@@ -23,6 +23,7 @@ def main() -> None:
     ap.add_argument("--n-vertices", type=int, required=True)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--strategy", default="spmv", choices=["spmv", "join"])
+    ap.add_argument("--algo", default="pagerank", choices=["pagerank", "cc"])
     ap.add_argument("--shuffle-partitions", type=int, default=0)
     ap.add_argument("--extract-pages", type=int, default=0,
                     help="also time the pages extract pipeline at this size")
@@ -40,12 +41,22 @@ def main() -> None:
     g = Graph(edges=edges.persist(), num_vertices=args.n_vertices)
     n_edges = g.edges.count()
 
-    cfg = PageRankConfig(damping=0.85, num_iters=args.iters,
-                         sink_mode="redistribute")
     t0 = time.monotonic()
-    runner = run_pagerank_spmv if args.strategy == "spmv" else run_pagerank
-    res = runner(g, cfg)
-    res.ranks.count()
+    if args.algo == "cc":
+        from haskellpagerank_spark.operators.components import (
+            connected_components)
+        from haskellpagerank_spark.operators.components_csr import (
+            connected_components_spmv)
+        ccrun = (connected_components_spmv if args.strategy == "spmv"
+                 else connected_components)
+        res = ccrun(g)
+        res.df.count()
+    else:
+        cfg = PageRankConfig(damping=0.85, num_iters=args.iters,
+                             sink_mode="redistribute")
+        runner = run_pagerank_spmv if args.strategy == "spmv" else run_pagerank
+        res = runner(g, cfg)
+        res.ranks.count()
     wall = time.monotonic() - t0
     # one-time preprocessing (CSR block build / weighted-edge shuffle)
     # amortizes over arbitrarily many sweeps; the per-iteration rate is the
@@ -55,6 +66,7 @@ def main() -> None:
     out = {
         "cores": args.cores,
         "strategy": args.strategy,
+        "algo": args.algo,
         "n_edges": n_edges,
         "iters": res.iterations,
         "wall_s": round(wall, 3),
