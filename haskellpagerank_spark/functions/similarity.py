@@ -118,6 +118,95 @@ def lsh_signatures(emb: DataFrame, dim: int, bits: int = 16,
     ).select("id", "tb.table", "tb.bucket")
 
 
+def fit_ivf_centroids(emb: DataFrame, n_cells: int = 16,
+                      sample: int = 4096, iters: int = 5,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic IVF coarse quantizer: spherical k-means (Lloyd) on a
+    bounded, id-ordered sample, driver-side numpy. Sample size is fixed, so
+    the fit cost is O(1) in corpus size — the 100 TB path trains on a
+    sample and assigns distributively."""
+    pdf = (emb.orderBy(id_col).limit(sample)
+           .select(vec_col).toPandas())
+    x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    c = xn[:n_cells].copy()
+    for _ in range(iters):
+        assign = np.argmax(xn @ c.T, axis=1)
+        for j in range(n_cells):
+            members = xn[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+        c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    return c
+
+
+def ivf_assignments(emb: DataFrame, centroids: np.ndarray,
+                    n_probe: int = 1, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """(id, cell) — each vector's ``n_probe`` nearest coarse cells, via an
+    Arrow-batched numpy matmul (centroids ride in the closure: tiny)."""
+    import pandas as pd
+
+    c = np.asarray(centroids, dtype=np.float64)
+
+    def kernel(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            v = np.array(b[vec_col].tolist(), dtype=np.float64)
+            vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
+                                1e-12)
+            sims = vn @ c.T
+            p = min(n_probe, sims.shape[1])
+            top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+            ids = np.repeat(b[id_col].to_numpy(np.int64), p)
+            yield pd.DataFrame({"id": ids,
+                                "cell": top.reshape(-1).astype(np.int32)})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        kernel, schema="id long, cell int")
+
+
+def ann_ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+                 n_cells: int = 16, n_probe: int = 4,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus once (cell-bucketed scan at
+    production scale), probe the queries' ``n_probe`` nearest cells, exact
+    cosine re-rank inside the probed cells. Same output schema as
+    ``ann_topk_bruteforce``; recall < 1 by construction (pytest measures
+    it against brute force)."""
+    cents = fit_ivf_centroids(emb, n_cells=n_cells,
+                              id_col=id_col, vec_col=vec_col)
+    cells = ivf_assignments(emb, cents, n_probe=1, id_col=id_col,
+                            vec_col=vec_col)
+    q = emb.where(F.col(id_col).isin(query_ids))
+    qcells = ivf_assignments(q, cents, n_probe=n_probe, id_col=id_col,
+                             vec_col=vec_col).withColumnRenamed(
+                                 "id", "query_id")
+    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vd"))
+    qv = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("vq"))
+    cand = (
+        F.broadcast(qcells).join(cells, "cell")
+        .where(F.col("query_id") != F.col("id"))
+        .select("query_id", F.col("id").alias("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = with_cosine(
+        cand.join(F.broadcast(qv), "query_id")
+        .join(v.withColumnRenamed("id", "neighbor_id"), "neighbor_id"),
+        "vq", "vd")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
 def ann_lsh_pairs(emb: DataFrame, dim: int, threshold: float,
                   bits: int = 12, tables: int = 6, seed: int = 42,
                   id_col: str = "vec_id",

@@ -329,6 +329,14 @@ def _q_lp_nation_5(spark, sf_dir):
     return label_propagation(g, num_iters=5).df
 
 
+def _q_lp_cs_3(spark, sf_dir):
+    """Label propagation on the larger cs multiset graph (exercises the
+    dedup-to-undirected path at |E| scale rather than the 25-vertex
+    nation fixture)."""
+    g = cs_graph(spark, sf_dir)
+    return label_propagation(g, num_iters=3).df
+
+
 def _q_triangles_nation(spark, sf_dir):
     return triangle_count(nation_trade_graph(spark, sf_dir))
 
@@ -432,6 +440,13 @@ def _q_ann_topk(spark, sf_dir):
 
 def _q_ann_lsh(spark, sf_dir):
     return S.ann_lsh_pairs(_emb(spark, sf_dir), dim=64, threshold=0.35)
+
+
+def _q_ann_ivf(spark, sf_dir):
+    """IVF-bucketed ANN (approximate; recall vs brute force is
+    pytest-measured) — rows-only driver check."""
+    return S.ann_ivf_topk(_emb(spark, sf_dir),
+                          query_ids=list(range(10)), k=5)
 
 
 def _q_events_user_daily(spark, sf_dir):
@@ -565,6 +580,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cc_nation": _q_cc_nation,
     "cc_cs": _q_cc_cs,
     "lp_nation_5": _q_lp_nation_5,
+    "lp_cs_3": _q_lp_cs_3,
     "triangle_count_nation": _q_triangles_nation,
     "prism_nation": _q_prism_nation,
     "triangles_per_vertex_nation": _q_triangles_per_vertex_nation,
@@ -583,6 +599,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_cosine_pairs": _q_cosine_pairs,
     "ann_topk_bruteforce": _q_ann_topk,
     "ann_lsh_pairs": _q_ann_lsh,
+    "ann_ivf_topk": _q_ann_ivf,
     "events_user_daily": _q_events_user_daily,
     "pagerank_spmv_cs_5": _q_pagerank_spmv_cs_5,
     "pagerank_reflect_nation_5": _q_pagerank_reflect_nation_5,
@@ -666,6 +683,7 @@ ORACLES: dict[str, str] = {
         (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
     """,
     "lp_nation_5": lp_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, 5),
+    "lp_cs_3": lp_sql(CS_EDGES_SQL, CS_VERTS_SQL, 3),
     "triangle_count_nation": TRIANGLES_NATION_SQL,
     "token_stats": f"""
         SELECT doc_id,

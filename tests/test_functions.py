@@ -203,3 +203,26 @@ def test_quality_features_degenerate_doc(corpus):
     q = T.quality_features(corpus).toPandas().set_index("doc_id")
     assert q.loc[6, "quality_score"] < q.loc[0, "quality_score"]
     assert 0.0 <= q["quality_score"].min() and q["quality_score"].max() <= 1.0
+
+
+def test_ann_ivf_recall_and_determinism(emb):
+    """IVF ANN: on tight clusters the probed-cell search recovers most of
+    the true top-k; output is deterministic run-to-run (seedless driver
+    k-means on an id-ordered sample)."""
+    qids = [0, 10, 20]
+    truth = S.ann_topk_bruteforce(emb, query_ids=qids, k=3).toPandas()
+    got = S.ann_ivf_topk(emb, query_ids=qids, k=3, n_cells=4,
+                         n_probe=2).toPandas()
+    again = S.ann_ivf_topk(emb, query_ids=qids, k=3, n_cells=4,
+                           n_probe=2).toPandas()
+    assert got.sort_values(["query_id", "neighbor_id"]).reset_index(
+        drop=True).equals(
+            again.sort_values(["query_id", "neighbor_id"]).reset_index(
+                drop=True))
+    hits = 0
+    for q in qids:
+        want = set(truth[truth.query_id == q].neighbor_id)
+        have = set(got[got.query_id == q].neighbor_id)
+        hits += len(want & have)
+    recall = hits / (3 * len(qids))
+    assert recall >= 0.6, f"IVF recall {recall:.2f}"
