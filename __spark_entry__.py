@@ -25,11 +25,12 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank top-20 over the sf0.001 customer->supplier link
     graph (dense-id contract, redistribute sink mode, damping 0.85)."""
     from haskellpagerank_spark.operators.pagerank import (
-        PageRankConfig, run_pagerank, top_k)
+        PageRankConfig, top_k)
+    from haskellpagerank_spark.operators.pagerank_csr import run_pagerank_auto
     from haskellpagerank_spark.sources.tpch_graph import cs_graph
 
     g = cs_graph(spark, "/root/testdata/sf0.001")
-    res = run_pagerank(g, PageRankConfig(
+    res = run_pagerank_auto(g, PageRankConfig(
         damping=0.85, tol=1e-6, tol_norm="l1", sink_mode="redistribute",
         max_iters=100))
     return top_k(res.ranks, 20).select(
