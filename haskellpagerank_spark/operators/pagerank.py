@@ -99,11 +99,17 @@ def weighted_edges(g: Graph) -> DataFrame:
     )
 
 
-def run_pagerank(g: Graph, cfg: PageRankConfig | None = None) -> PageRankResult:
+def run_pagerank(g: Graph, cfg: PageRankConfig | None = None,
+                 init_ranks: DataFrame | None = None) -> PageRankResult:
     """Driver loop: one Spark job per superstep + one scalar residual agg.
 
     The per-iteration driver round-trip (residual collect) replaces the
     reference's shared IORef convergence flag (PageRank.hs:49-52).
+
+    ``init_ranks`` ((id, rank), e.g. the previous converged state after an
+    ingest batch) warm-starts the iteration — vertices absent from it get
+    ``cfg.init_value``; power iteration converges from any start, so the
+    result is the same fixpoint in far fewer sweeps.
     """
     cfg = cfg or PageRankConfig()
     spark = g.spark
@@ -130,7 +136,15 @@ def run_pagerank(g: Graph, cfg: PageRankConfig | None = None) -> PageRankResult:
     init = cfg.init_value if cfg.init_value is not None else 1.0 / n_total
     dconst = (1.0 - d) / n_nonsink if n_nonsink else 0.0
 
-    ranks = base.select("id", F.lit(float(init)).alias("rank"))
+    if init_ranks is not None:
+        ranks = (
+            base.join(init_ranks.select("id", F.col("rank").alias("_r0")),
+                      "id", "left")
+            .select("id", F.coalesce("_r0", F.lit(float(init))).alias("rank"))
+            .repartition(shuffle_p, "id")
+        )
+    else:
+        ranks = base.select("id", F.lit(float(init)).alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
     ckpt = CheckpointManager(cfg.checkpoint_dir, cfg.checkpoint_interval)
     resumed = ckpt.resume(spark) if cfg.checkpoint_dir else None

@@ -157,7 +157,8 @@ def _spmv_job(blocks: DataFrame, x_bc) -> tuple[np.ndarray, np.ndarray]:
 
 def run_pagerank_spmv(g: Graph, cfg: PageRankConfig | None = None,
                       num_blocks: int | None = None,
-                      hub_threshold: int | None = None) -> PageRankResult:
+                      hub_threshold: int | None = None,
+                      init_ranks: DataFrame | None = None) -> PageRankResult:
     """PageRank with CSR-block SpMV supersteps (same semantics/flags as
     run_pagerank; see PageRankConfig). ``hub_threshold``: in-degree above
     which a dst is salted across blocks (None -> a quarter of the per-block
@@ -204,6 +205,10 @@ def run_pagerank_spmv(g: Graph, cfg: PageRankConfig | None = None,
     dconst = (1.0 - d) / n_nonsink if n_nonsink else 0.0
 
     x = np.full(n, float(init))
+    if init_ranks is not None:
+        # warm start (previous converged state after an ingest batch)
+        pdf0 = init_ranks.select("id", "rank").toPandas()
+        x[pdf0["id"].to_numpy(np.int64)] = pdf0["rank"].to_numpy(np.float64)
     ckpt = CheckpointManager(cfg.checkpoint_dir, cfg.checkpoint_interval)
     start_iter = 0
     if cfg.checkpoint_dir:
@@ -272,10 +277,10 @@ def run_pagerank_spmv(g: Graph, cfg: PageRankConfig | None = None,
 SPMV_MAX_VERTICES = 100_000_000
 
 
-def run_pagerank_auto(g: Graph, cfg: PageRankConfig | None = None
-                      ) -> PageRankResult:
+def run_pagerank_auto(g: Graph, cfg: PageRankConfig | None = None,
+                      init_ranks: DataFrame | None = None) -> PageRankResult:
     """Pick the physical strategy by vertex count (documented crossover)."""
     from .pagerank import run_pagerank
     if g.num_vertices <= SPMV_MAX_VERTICES:
-        return run_pagerank_spmv(g, cfg)
-    return run_pagerank(g, cfg)
+        return run_pagerank_spmv(g, cfg, init_ranks=init_ranks)
+    return run_pagerank(g, cfg, init_ranks=init_ranks)

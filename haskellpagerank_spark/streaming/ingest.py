@@ -69,6 +69,25 @@ def stream_edge_lists(spark: SparkSession, input_dir: str) -> DataFrame:
     ).where(F.col("src") != F.col("dst"))
 
 
+def maintain_ranks(spark: SparkSession, edges_dir: str, num_vertices: int,
+                   prev_ranks: DataFrame | None = None, cfg=None):
+    """Batch-of-batches rank maintenance over a streamed (src, dst) sink.
+
+    After each ingested micro-batch (``stream_edge_lists`` appends encoded
+    pairs to ``edges_dir``; the pages path feeds it after dictionary
+    encoding), recompute PageRank over the full edge table *warm-started*
+    from the previous converged state —
+    power iteration converges from any start vector, so the result is the
+    exact fixpoint of the updated graph, reached in a fraction of the
+    sweeps a cold start needs (tests assert both properties).
+    """
+    from ..operators.graph import from_edge_df
+    from ..operators.pagerank_csr import run_pagerank_auto
+    edges = spark.read.parquet(edges_dir)
+    g = from_edge_df(edges, num_vertices=num_vertices)
+    return run_pagerank_auto(g, cfg, init_ranks=prev_ranks)
+
+
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                           watermark: str = "2 hours") -> DataFrame:
     """Tumbling-window per-type counts with late-data watermark over the

@@ -91,3 +91,17 @@ def test_spmv_salted_hubs_identical(spark):
     joined = _ranks(run_pagerank(g, cfg), g.num_vertices)
     np.testing.assert_allclose(salted, plain, rtol=1e-12, atol=1e-16)
     np.testing.assert_allclose(salted, joined, rtol=1e-12, atol=1e-16)
+
+
+def test_warm_start_same_fixpoint_fewer_sweeps(spark):
+    """init_ranks warm start reaches the identical fixpoint in fewer
+    sweeps (power iteration converges from any start vector)."""
+    pairs = FIXTURE_EDGES["hub"] + FIXTURE_EDGES["doubleSquare"]
+    g = from_pairs(spark, pairs)
+    cfg = PageRankConfig(damping=0.85, tol=1e-10, tol_norm="l1",
+                         sink_mode="redistribute", max_iters=300)
+    cold = run_pagerank_spmv(g, cfg)
+    warm = run_pagerank_spmv(g, cfg, init_ranks=cold.ranks)
+    np.testing.assert_allclose(_ranks(warm, g.num_vertices),
+                               _ranks(cold, g.num_vertices), atol=1e-9)
+    assert warm.iterations < cold.iterations

@@ -65,3 +65,47 @@ def test_windowed_event_counts_batch_semantics(spark):
     clicks = out[out.event_type == "click"]
     assert len(clicks) == 1 and clicks.iloc[0].n_events == 2
     assert clicks.iloc[0].total_value == 3.0
+
+
+def test_maintain_ranks_over_ingested_batches(spark, tmp_path):
+    """Stream two edge-list batches into the sink; warm-started maintenance
+    after batch 2 matches a cold full recompute exactly (same fixpoint) in
+    fewer sweeps."""
+    import numpy as np
+    from haskellpagerank_spark.operators.graph import from_edge_df
+    from haskellpagerank_spark.operators.pagerank import PageRankConfig
+    from haskellpagerank_spark.operators.pagerank_csr import run_pagerank_spmv
+    from haskellpagerank_spark.streaming.ingest import (maintain_ranks,
+                                                        stream_edge_lists)
+    src_dir, sink, ck = (str(tmp_path / d) for d in ("in", "edges", "ck"))
+    import os
+    os.makedirs(src_dir)
+    cfg = PageRankConfig(damping=0.85, tol=1e-10, tol_norm="l1",
+                         sink_mode="redistribute", max_iters=300)
+
+    def ingest():
+        q = (stream_edge_lists(spark, src_dir)
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    n = 22
+    # batch 1: a 20-spoke hub plus return edges — a far-from-uniform
+    # fixpoint; batch 2 perturbs it with two edges, so the previous state
+    # is a much closer start than uniform
+    with open(f"{src_dir}/b1.txt", "w") as f:
+        f.write("".join(f"{i} 0\n" for i in range(1, 21)) + "0 1\n0 2\n")
+    ingest()
+    r1 = maintain_ranks(spark, sink, num_vertices=n, cfg=cfg)
+    with open(f"{src_dir}/b2.txt", "w") as f:
+        f.write("21 0\n0 3\n")
+    ingest()
+    warm = maintain_ranks(spark, sink, num_vertices=n, prev_ranks=r1.ranks,
+                          cfg=cfg)
+    edges = spark.read.parquet(sink)
+    cold = run_pagerank_spmv(from_edge_df(edges, num_vertices=n), cfg)
+    w = warm.ranks.toPandas().sort_values("id")["rank"].to_numpy()
+    c = cold.ranks.toPandas().sort_values("id")["rank"].to_numpy()
+    np.testing.assert_allclose(w, c, atol=1e-9)
+    assert warm.iterations < cold.iterations
