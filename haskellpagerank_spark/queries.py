@@ -370,6 +370,12 @@ def _q_coloring_jp_nation(spark, sf_dir):
     return C.jones_plassmann(nation_trade_graph(spark, sf_dir), seed=42).df
 
 
+# (a cs-graph Jones–Plassmann run lives in pytest —
+# tests/test_coloring.py::test_jp_valid_on_cs_graph — rather than the driver
+# gate: its fixed point needs tens of rounds on the dense 1600-vertex graph
+# and a rows-only check adds no correctness signal over the validity test)
+
+
 def _q_pages_pagerank(spark, sf_dir):
     """M0 showcase: deterministic pages -> extract -> encode -> PageRank.
     Generated input (no oracle view); rows-only driver check."""

@@ -73,3 +73,17 @@ def test_buckets_and_counts(spark):
     assert buckets == {1: [0, 3, 5, 6], 2: [1, 2, 4, 7]}
     counts = {r["color"]: r["n"] for r in color_counts(res.df).collect()}
     assert counts == {1: 4, 2: 4}
+
+
+def test_jp_valid_on_cs_graph(spark):
+    """JP on a non-fixture graph (sf0.001 cs, ~160 vertices): proper
+    coloring (no monochromatic edge) and every vertex colored >= 1."""
+    from haskellpagerank_spark.operators.coloring import (jones_plassmann,
+                                                          validate_coloring)
+    from haskellpagerank_spark.sources.tpch_graph import cs_graph
+    g = cs_graph(spark, "/root/testdata/sf0.001")
+    res = jones_plassmann(g, seed=42)
+    assert validate_coloring(g, res.df) == 0
+    from pyspark.sql import functions as F
+    assert res.df.where(F.col("color") < 1).count() == 0
+    assert res.df.count() == g.num_vertices
