@@ -308,8 +308,9 @@ def _q_pagerank_cs_5(spark, sf_dir):
 
 
 def _q_pagerank_nation_30(spark, sf_dir):
+    from .operators.pagerank_csr import run_pagerank_spmv
     g = nation_trade_graph(spark, sf_dir)
-    res = run_pagerank(g, PageRankConfig(
+    res = run_pagerank_spmv(g, PageRankConfig(
         damping=DAMPING, num_iters=30, sink_mode="redistribute"))
     return res.ranks.select("id", F.round("rank", 8).alias("rank"))
 
@@ -485,8 +486,9 @@ def _q_pagerank_reflect_nation_5(spark, sf_dir):
 
 def _q_pagerank_topk_nation(spark, sf_dir):
     """Top-k ranked vertices (deterministic tie-break on rounded rank, id)."""
+    from .operators.pagerank_csr import run_pagerank_spmv
     g = nation_trade_graph(spark, sf_dir)
-    res = run_pagerank(g, PageRankConfig(
+    res = run_pagerank_spmv(g, PageRankConfig(
         damping=DAMPING, num_iters=30, sink_mode="redistribute"))
     r = res.ranks.select("id", F.round("rank", 8).alias("rank"))
     return r.orderBy(F.desc("rank"), F.asc("id")).limit(10)
