@@ -84,8 +84,19 @@ def run_pagerank_incremental(g: Graph, cfg: PageRankConfig | None = None,
         F.lit(0.0).alias("sent"),
     ).localCheckpoint(eager=True)
 
+    # resumable iteration: the snapshot carries the FULL prism state
+    # (x, s, sent, has_out), so a killed job restarts mid-loop with its
+    # accumulated sums and frontier intact
+    ckpt = CheckpointManager(cfg.checkpoint_dir, cfg.checkpoint_interval)
+    start_iter = 0
+    resumed = ckpt.resume(spark) if cfg.checkpoint_dir else None
+    if resumed is not None:
+        state = (resumed[0].repartition(shuffle_p, "id")
+                 .localCheckpoint(eager=True))
+        start_iter = resumed[1]
+
     metrics: list[IterationMetrics] = []
-    it = 0
+    it = start_iter
     while it < cfg.max_iters:
         it += 1
         t0 = time.monotonic()
@@ -118,12 +129,14 @@ def run_pagerank_incremental(g: Graph, cfg: PageRankConfig | None = None,
             .select("id", "has_out", "x", "s", "sent")
             .localCheckpoint(eager=True)
         )
-        metrics.append(IterationMetrics(
+        m = IterationMetrics(
             iteration=it, l1_residual=float(n_active),
             linf_residual=0.0, rows_shuffled=n_active,
             wall_s=time.monotonic() - t0,
             extra={"frontier": n_active, "strategy": "incremental"},
-        ))
+        )
+        metrics.append(m)
+        ckpt.write(state, m)
 
     ew.unpersist()
     base.unpersist()

@@ -43,3 +43,25 @@ def test_incremental_rejects_redistribute(spark):
     g = from_pairs(spark, FIXTURE_EDGES["square"])
     with pytest.raises(ValueError):
         run_pagerank_incremental(g, PageRankConfig(sink_mode="redistribute"))
+
+
+def test_prism_checkpoint_resume(spark, tmp_path):
+    """Kill-and-resume: interrupt the incremental run after 3 supersteps,
+    resume from the snapshot manifest, land on the same fixpoint as an
+    uninterrupted run (the snapshot carries the full x/s/sent state)."""
+    import numpy as np
+    from haskellpagerank_spark.operators.pagerank import PageRankConfig
+    pairs = FIXTURE_EDGES["hub"] + FIXTURE_EDGES["doubleSquare"]
+    g = from_pairs(spark, pairs)
+    base_cfg = dict(damping=0.15, tol=1e-9, sink_mode="reflect")
+    full = run_pagerank_incremental(g, PageRankConfig(**base_cfg,
+                                                      max_iters=300))
+    ck = str(tmp_path / "ck")
+    run_pagerank_incremental(g, PageRankConfig(
+        **base_cfg, max_iters=3, checkpoint_dir=ck, checkpoint_interval=1))
+    resumed = run_pagerank_incremental(g, PageRankConfig(
+        **base_cfg, max_iters=300, checkpoint_dir=ck, checkpoint_interval=1))
+    assert resumed.iterations > 3  # continued past the interrupted point
+    a = full.ranks.toPandas().sort_values("id")["rank"].to_numpy()
+    b = resumed.ranks.toPandas().sort_values("id")["rank"].to_numpy()
+    np.testing.assert_allclose(a, b, atol=1e-9)
