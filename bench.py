@@ -65,6 +65,19 @@ def main() -> None:
     extra["pagerank_l1_final"] = res.metrics[-1].l1_residual
     extra["n_edges"] = n_edges
 
+    # -- COST check: the driver-local strategy (run_pagerank_auto's pick at
+    #    this |E|) on the same convergence problem
+    from haskellpagerank_spark.operators.pagerank_local import (
+        run_pagerank_local)
+    t0 = time.monotonic()
+    res_l = run_pagerank_local(g, PageRankConfig(
+        damping=0.85, tol=1e-6, tol_norm="l1", sink_mode="redistribute",
+        max_iters=100))
+    _consume(res_l.ranks)
+    dt_l = time.monotonic() - t0
+    queries["pagerank_conv_local"] = round(dt_l, 3)
+    extra["edges_per_sec_local"] = round(n_edges * res_l.iterations / dt_l, 1)
+
     # -- PageRank fixed 5 sweeps (the reference benchmark protocol,
     #    MainBench.hs:26-27): both physical strategies for comparison
     t0 = time.monotonic()

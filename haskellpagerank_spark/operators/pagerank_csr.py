@@ -279,8 +279,22 @@ SPMV_MAX_VERTICES = 100_000_000
 
 def run_pagerank_auto(g: Graph, cfg: PageRankConfig | None = None,
                       init_ranks: DataFrame | None = None) -> PageRankResult:
-    """Pick the physical strategy by vertex count (documented crossover)."""
+    """Pick the physical strategy by data scale (documented crossovers):
+
+    1. |E| <= LOCAL_MAX_EDGES  -> driver-local numpy (COST regime — a
+       single thread beats any distributed plan below RAM scale; this is
+       how the engine matches the reference's single-node throughput at
+       the reference's own data sizes);
+    2. |V| <= SPMV_MAX_VERTICES -> CSR-block SpMV (zero-shuffle sweeps,
+       broadcast rank vector);
+    3. beyond                   -> shuffle-join supersteps (no |V|-sized
+       single-machine state anywhere).
+    """
     from .pagerank import run_pagerank
+    from .pagerank_local import LOCAL_MAX_EDGES, run_pagerank_local
+    n_edges = g.edges.count()
+    if n_edges <= LOCAL_MAX_EDGES:
+        return run_pagerank_local(g, cfg, init_ranks=init_ranks)
     if g.num_vertices <= SPMV_MAX_VERTICES:
         return run_pagerank_spmv(g, cfg, init_ranks=init_ranks)
     return run_pagerank(g, cfg, init_ranks=init_ranks)
