@@ -70,11 +70,21 @@ def test_spmv_checkpoint_resume(spark, tmp_path):
         _ranks(resumed, g.num_vertices), _ranks(plain, g.num_vertices))
 
 
-def test_auto_picks_spmv_for_small_graphs(spark):
+def test_auto_dispatch_tiers(spark):
+    """run_pagerank_auto: local tier below the edge cap (COST regime);
+    forcing the cap to 0 falls through to the SpMV tier."""
+    from haskellpagerank_spark.operators import pagerank_local as PL
     g = from_pairs(spark, FIXTURE_EDGES["complete"])
-    res = run_pagerank_auto(g, PageRankConfig(
-        damping=0.85, num_iters=3, sink_mode="redistribute"))
-    assert res.metrics[0].extra.get("strategy") == "spmv"
+    cfg = PageRankConfig(damping=0.85, num_iters=3, sink_mode="redistribute")
+    res = run_pagerank_auto(g, cfg)
+    assert res.metrics[0].extra.get("strategy") == "local"
+    cap = PL.LOCAL_MAX_EDGES
+    try:
+        PL.LOCAL_MAX_EDGES = 0
+        res2 = run_pagerank_auto(g, cfg)
+    finally:
+        PL.LOCAL_MAX_EDGES = cap
+    assert res2.metrics[0].extra.get("strategy") == "spmv"
 
 
 def test_spmv_salted_hubs_identical(spark):
