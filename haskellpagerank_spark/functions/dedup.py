@@ -29,9 +29,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import Column
+
 from .text import tokens
 
 _WS = r"\s+"
+
+
+def _hash64(col: Column, salt: int | None = None,
+            hash_mode: str = "xxhash64") -> Column:
+    """64-bit (xxhash64) or 60-bit (md5 mode) string hash.
+
+    ``md5`` mode derives the hash as the top 15 hex chars of md5 —
+    bit-reproducible in DuckDB (``CAST('0x' || substr(md5(s),1,15) AS
+    BIGINT)``, see sql_twins._md5_60bit), so the driver's oracle gate can
+    hash-check candidate generation. xxhash64 stays the production default
+    (JVM-native, no hex round-trip).
+    """
+    if hash_mode == "xxhash64":
+        return F.xxhash64(col) if salt is None else F.xxhash64(col, F.lit(salt))
+    if hash_mode == "md5":
+        s = col if salt is None else F.concat_ws(
+            "\x1f", col, F.lit(str(salt)))
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_mode {hash_mode!r}")
 
 
 def exact_duplicate_groups(docs: DataFrame, text_col: str = "text",
@@ -101,17 +122,18 @@ def jaccard_pairs_blocked(docs: DataFrame, text_col: str = "text",
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 3,
-                       num_hashes: int = 64) -> DataFrame:
+                       num_hashes: int = 64,
+                       hash_mode: str = "xxhash64") -> DataFrame:
     """(id, sig: array<long>[num_hashes]) — k seeded min-hashes over distinct
-    shingles: sig[i] = min over shingles s of xxhash64(s, i). Entirely
-    JVM-side (xxhash64 is a Spark built-in)."""
+    shingles: sig[i] = min over shingles s of hash(s, i). Entirely JVM-side
+    (xxhash64/md5/conv are Spark built-ins; see _hash64 for hash_mode)."""
     # explode once + k min-aggregates: one pass over the shingles, map-side
     # partial agg bounds the shuffle at |D| x k per partition. (A transform/
     # array_min formulation duplicates the shingle expression k times after
     # projection collapse — k regex tokenizations per row.)
     sh = docs.select(F.col(id_col).alias("id"),
                      F.explode(word_shingles(text_col, n)).alias("s"))
-    mins = [F.min(F.xxhash64("s", F.lit(i))).alias(f"_m{i}")
+    mins = [F.min(_hash64(F.col("s"), i, hash_mode)).alias(f"_m{i}")
             for i in range(num_hashes)]
     return (
         sh.groupBy("id").agg(*mins)
@@ -123,7 +145,8 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
                       num_hashes: int = 64, bands: int = 16,
-                      threshold: float = 0.8) -> DataFrame:
+                      threshold: float = 0.8,
+                      hash_mode: str = "xxhash64") -> DataFrame:
     """MinHash-LSH near-dup detection, verified by exact Jaccard.
 
     candidates: explode each signature into ``bands`` rows keyed by
@@ -133,16 +156,17 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, text_col, id_col, n, num_hashes)
+    sigs = minhash_signatures(docs, text_col, id_col, n, num_hashes,
+                              hash_mode)
     bands_df = sigs.select(
         "id",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(F.concat_ws(
+                _hash64(F.concat_ws(
                     ",", *[F.element_at("sig", b * rows_per_band + r + 1)
                            .cast("string") for r in range(rows_per_band)]
-                )).alias("key"),
+                ), None, hash_mode).alias("key"),
             ) for b in range(bands)
         ])).alias("bk"),
     ).select("id", "bk.band", "bk.key")
@@ -167,26 +191,35 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     )
 
 
-def simhash(docs: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash: long) — 64-bit SimHash of the token multiset.
+def _simhash_bits(hash_mode: str) -> int:
+    # xxhash64: bits 0..62 (bit 63 = sign, dropped to keep signatures
+    # non-negative); md5 mode: 60 usable bits (15 hex chars)
+    return 63 if hash_mode == "xxhash64" else 60
 
-    Per token t: h = xxhash64(t); each bit votes +1/-1 weighted by the
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id",
+            hash_mode: str = "xxhash64") -> DataFrame:
+    """(id, simhash: long) — 63-bit (xxhash64) / 60-bit (md5 mode) SimHash
+    of the token multiset.
+
+    Per token t: h = hash64(t); each bit votes +1/-1 weighted by the
     token's multiplicity; signature bit b = 1 iff the vote sum > 0. Built
-    from explode + 64 conditional sums — all codegen'd aggregates, one
+    from explode + conditional sums — all codegen'd aggregates, one
     shuffle keyed by doc id.
     """
+    n_bits = _simhash_bits(hash_mode)
     tok = docs.select(F.col(id_col).alias("id"),
                       F.explode(tokens(text_col)).alias("t"))
-    h = F.xxhash64("t")
+    h = _hash64(F.col("t"), None, hash_mode)
     votes = [
         F.sum(F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1))
         .alias(f"v{b}")
-        for b in range(63)  # bit 63 = sign bit; keep signatures non-negative
+        for b in range(n_bits)
     ]
     voted = tok.groupBy("id").agg(*votes)
     sig = None
-    for b in range(63):
+    for b in range(n_bits):
         term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return voted.select("id", sig.cast("long").alias("simhash"))
@@ -194,16 +227,20 @@ def simhash(docs: DataFrame, text_col: str = "text",
 
 def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
-                       max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash banding (4 x 16-bit chunks; Hamming <= 3
-    guarantees >= 1 identical chunk). Returns (id_a, id_b, hamming)."""
-    sigs = simhash(docs, text_col, id_col)
+                       max_hamming: int = 3,
+                       hash_mode: str = "xxhash64") -> DataFrame:
+    """Near-dup pairs by SimHash banding (4 chunks of 16 bits for xxhash64
+    signatures / 15 bits for md5-mode; Hamming <= 3 guarantees >= 1
+    identical chunk either way). Returns (id_a, id_b, hamming)."""
+    chunk_bits = _simhash_bits(hash_mode) // 4 if hash_mode == "md5" else 16
+    mask = (1 << chunk_bits) - 1
+    sigs = simhash(docs, text_col, id_col, hash_mode)
     chunks = sigs.select(
         "id", "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(c).alias("chunk"),
-                     F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF))
-                     .alias("key"))
+                     F.shiftright("simhash", c * chunk_bits)
+                     .bitwiseAND(F.lit(mask)).alias("key"))
             for c in range(4)
         ])).alias("ck"),
     ).select("id", "simhash", "ck.chunk", "ck.key")

@@ -17,6 +17,7 @@ making repeated ANN queries a bucket-pruned scan + local top-k.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -99,23 +100,34 @@ def lsh_signatures(emb: DataFrame, dim: int, bits: int = 16,
                    vec_col: str = "embedding") -> DataFrame:
     """(id, table, bucket) — sign-random-projection signatures.
 
-    Hyperplanes are plan literals (seeded numpy); signature bit = sign of
-    the dot product, folded into an int bucket. All codegen'd arithmetic.
+    One Arrow-batched numpy matmul per batch: all ``tables x bits`` plane
+    dot products at once, then sign bits folded into per-table int buckets
+    with a single (1<<b) weighted sum. The hyperplanes ride in the task
+    closure (tables*bits*dim doubles — a few MB even at dim 4096), NOT as
+    plan literals: the query plan stays O(1) in dim, and per-row cost is a
+    BLAS matmul instead of tables*bits*dim scalar Catalyst expressions.
     """
     planes = _hyperplanes(dim, bits, tables, seed)
-    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    rows = []
-    for t in range(tables):
-        bucket = None
-        for b in range(bits):
-            plane = F.array(*[F.lit(float(v)) for v in planes[t, b]])
-            bit = F.when(_dot(vd, plane) > 0, F.lit(1 << b)).otherwise(F.lit(0))
-            bucket = bit if bucket is None else bucket + bit
-        rows.append(F.struct(F.lit(t).alias("table"),
-                             bucket.cast("long").alias("bucket")))
-    return emb.select(
-        F.col(id_col).alias("id"), F.explode(F.array(*rows)).alias("tb")
-    ).select("id", "tb.table", "tb.bucket")
+    flat = planes.reshape(tables * bits, dim)          # (T*B, dim)
+    weights = (1 << np.arange(bits, dtype=np.int64))   # (B,)
+
+    def kernel(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            v = np.array(b[vec_col].tolist(), dtype=np.float64)
+            sims = v @ flat.T                          # (n, T*B)
+            sgn = (sims > 0).reshape(len(v), tables, bits)
+            buckets = (sgn * weights).sum(axis=2)      # (n, T)
+            ids = np.repeat(b[id_col].to_numpy(np.int64), tables)
+            yield pd.DataFrame({
+                "id": ids,
+                "table": np.tile(np.arange(tables, dtype=np.int32), len(v)),
+                "bucket": buckets.reshape(-1).astype(np.int64),
+            })
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        kernel, schema="id long, table int, bucket long")
 
 
 def fit_ivf_centroids(emb: DataFrame, n_cells: int = 16,
@@ -123,17 +135,33 @@ def fit_ivf_centroids(emb: DataFrame, n_cells: int = 16,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding") -> np.ndarray:
     """Deterministic IVF coarse quantizer: spherical k-means (Lloyd) on a
-    bounded, id-ordered sample, driver-side numpy. Sample size is fixed, so
-    the fit cost is O(1) in corpus size — the 100 TB path trains on a
-    sample and assigns distributively."""
-    pdf = (emb.orderBy(id_col).limit(sample)
-           .select(vec_col).toPandas())
+    bounded sample, driver-side numpy. Sample size is fixed, so the fit
+    cost is O(1) in corpus size — the 100 TB path trains on a sample and
+    assigns distributively.
+
+    The sample is *hash-spread*: take the ``sample`` smallest xxhash64(id)
+    rows rather than the smallest ids — on sharded/temporal corpora where
+    embeddings correlate with id, an id-prefix sample would miss whole
+    regions and silently wreck recall. Seeding is k-means++-style greedy
+    farthest-point (deterministic): each next seed is the sample vector
+    least similar to all chosen seeds, so initial centroids span the data
+    instead of duplicating one dense region.
+    """
+    pdf = (emb.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+           .limit(sample).select(vec_col).toPandas())
     x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
     xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    c = xn[:n_cells].copy()
+    k = min(n_cells, len(xn))
+    seeds = [0]
+    best = xn @ xn[0]
+    for _ in range(1, k):
+        j = int(np.argmin(best))  # least covered point (ties -> lowest idx)
+        seeds.append(j)
+        best = np.maximum(best, xn @ xn[j])
+    c = xn[seeds].copy()
     for _ in range(iters):
         assign = np.argmax(xn @ c.T, axis=1)
-        for j in range(n_cells):
+        for j in range(k):
             members = xn[assign == j]
             if len(members):
                 c[j] = members.mean(axis=0)
@@ -145,9 +173,15 @@ def ivf_assignments(emb: DataFrame, centroids: np.ndarray,
                     n_probe: int = 1, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
     """(id, cell) — each vector's ``n_probe`` nearest coarse cells, via an
-    Arrow-batched numpy matmul (centroids ride in the closure: tiny)."""
-    import pandas as pd
+    Arrow-batched numpy matmul (centroids ride in the closure: tiny).
 
+    Deterministic: cells ranked by (dot desc, cell asc) with a stable sort —
+    the same order ``ROW_NUMBER() OVER (ORDER BY sim DESC, cell ASC)``
+    produces, so a SQL twin over the exported centroids reproduces the
+    assignment exactly. The vector is NOT normalized first (centroids are
+    unit vectors; a positive per-row scale cannot change the ranking), which
+    keeps the kernel and the SQL twin numerically identical.
+    """
     c = np.asarray(centroids, dtype=np.float64)
 
     def kernel(batches):
@@ -155,11 +189,9 @@ def ivf_assignments(emb: DataFrame, centroids: np.ndarray,
             if not len(b):
                 continue
             v = np.array(b[vec_col].tolist(), dtype=np.float64)
-            vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
-                                1e-12)
-            sims = vn @ c.T
+            sims = v @ c.T
             p = min(n_probe, sims.shape[1])
-            top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :p]
             ids = np.repeat(b[id_col].to_numpy(np.int64), p)
             yield pd.DataFrame({"id": ids,
                                 "cell": top.reshape(-1).astype(np.int32)})
@@ -171,14 +203,16 @@ def ivf_assignments(emb: DataFrame, centroids: np.ndarray,
 def ann_ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
                  n_cells: int = 16, n_probe: int = 4,
                  id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 centroids: np.ndarray | None = None) -> DataFrame:
     """IVF ANN: coarse-quantize the corpus once (cell-bucketed scan at
     production scale), probe the queries' ``n_probe`` nearest cells, exact
     cosine re-rank inside the probed cells. Same output schema as
     ``ann_topk_bruteforce``; recall < 1 by construction (pytest measures
-    it against brute force)."""
-    cents = fit_ivf_centroids(emb, n_cells=n_cells,
-                              id_col=id_col, vec_col=vec_col)
+    it against brute force). ``centroids``: pre-fit unit centroids (e.g.
+    exported for a cross-engine twin); None -> fit here."""
+    cents = centroids if centroids is not None else fit_ivf_centroids(
+        emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
     cells = ivf_assignments(emb, cents, n_probe=1, id_col=id_col,
                             vec_col=vec_col)
     q = emb.where(F.col(id_col).isin(query_ids))

@@ -149,13 +149,16 @@ def run_pagerank(g: Graph, cfg: PageRankConfig | None = None,
     ckpt = CheckpointManager(cfg.checkpoint_dir, cfg.checkpoint_interval)
     resumed = ckpt.resume(spark) if cfg.checkpoint_dir else None
     start_iter = 0
-    prev_ranks = None
     if resumed is not None:
         ranks, start_iter = resumed[0].repartition(shuffle_p, "id"), resumed[1]
         ranks = ranks.localCheckpoint(eager=True)
 
     metrics: list[IterationMetrics] = []
     total_iters = cfg.num_iters if cfg.num_iters > 0 else cfg.max_iters
+    if cfg.num_iters == 0 and start_iter >= total_iters:
+        # resumed at/past max_iters with a converged snapshot on disk: run
+        # one verification sweep instead of skipping the loop and raising
+        total_iters = start_iter + 1
     it = start_iter
     while it < total_iters:
         it += 1
@@ -189,7 +192,6 @@ def run_pagerank(g: Graph, cfg: PageRankConfig | None = None,
             ew.unpersist()
             base.unpersist()
             return PageRankResult(ranks=final, iterations=it, metrics=metrics)
-        prev_ranks = ranks
         ranks = new_ranks
 
     ew.unpersist()

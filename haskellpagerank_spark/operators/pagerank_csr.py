@@ -15,10 +15,13 @@ pattern, a la GraphX replicated vertex views): zero shuffle per iteration,
 one Spark job, no per-row Python.
 
 Scale envelope (explicit, by design):
-- broadcast of the dense rank vector costs 8|V| bytes per executor: fine to
-  ~10^8-10^9 vertices (0.8-8 GB) on real clusters, far beyond any local[N]
-  test. Beyond that, use strategy="join" (operators/pagerank.py), whose
-  shuffle-based gather has no |V| broadcast. ``run_pagerank_auto`` picks.
+- every sweep moves O(|V|) through the driver twice: the 8|V|-byte rank
+  broadcast out, and the ~|V|-row Arrow collect of per-block partial sums
+  back (bounded by |V| plus hub-salt duplicates). Both are fine to ~10^7
+  vertices (~0.25 GB/sweep through one driver); beyond that the driver hop
+  dominates, so use strategy="join" (operators/pagerank.py), whose
+  shuffle-based gather has no single-machine O(|V|) state.
+  ``run_pagerank_auto`` picks via SPMV_MAX_VERTICES.
 - block build is one shuffle of the weighted edge set (same cost as a single
   join-path sweep) and amortizes over all iterations.
 - per-block buffers are bounded by edges-per-block; ``num_blocks`` scales
@@ -174,22 +177,9 @@ def run_pagerank_spmv(g: Graph, cfg: PageRankConfig | None = None,
     num_blocks = num_blocks or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    # skew probe: salt mega-hub dsts whose in-edges would swamp one block
-    hub_ids = None
-    if hub_threshold != 0:
-        indeg_pdf = (
-            work.edges.groupBy(F.col("dst").alias("id"))
-            .agg(F.count(F.lit(1)).alias("deg")).toPandas()
-        )
-        if hub_threshold is None:
-            e_probe = int(indeg_pdf["deg"].sum())
-            hub_threshold = max(65536, e_probe // max(num_blocks, 1) // 4)
-        hub_ids = indeg_pdf.loc[indeg_pdf["deg"] > hub_threshold,
-                                "id"].to_numpy(np.int64)
-
-    blocks = build_csr_blocks(work, num_blocks, hub_ids=hub_ids).persist()
-    blocks.count()  # materialize once
-
+    # out-degree vector first (needed every run) — its sum is |E|, which
+    # also lets us SKIP the skew probe outright on graphs too small for any
+    # dst to clear the salting threshold (the common gate-query case)
     deg_pdf = (
         work.edges.groupBy(F.col("src").alias("id"))
         .agg(F.count(F.lit(1)).alias("deg")).toPandas()
@@ -199,6 +189,22 @@ def run_pagerank_spmv(g: Graph, cfg: PageRankConfig | None = None,
     has_out = outdeg > 0
     n_nonsink = int(has_out.sum())
     n_edges = int(outdeg.sum())
+
+    # skew probe: salt mega-hub dsts whose in-edges would swamp one block
+    hub_ids = None
+    if hub_threshold != 0:
+        if hub_threshold is None:
+            hub_threshold = max(65536, n_edges // max(num_blocks, 1) // 4)
+        if n_edges > hub_threshold:  # else no dst can possibly exceed it
+            indeg_pdf = (
+                work.edges.groupBy(F.col("dst").alias("id"))
+                .agg(F.count(F.lit(1)).alias("deg")).toPandas()
+            )
+            hub_ids = indeg_pdf.loc[indeg_pdf["deg"] > hub_threshold,
+                                    "id"].to_numpy(np.int64)
+
+    blocks = build_csr_blocks(work, num_blocks, hub_ids=hub_ids).persist()
+    blocks.count()  # materialize once
 
     d = cfg.damping
     init = cfg.init_value if cfg.init_value is not None else 1.0 / n
@@ -226,6 +232,10 @@ def run_pagerank_spmv(g: Graph, cfg: PageRankConfig | None = None,
     sc = spark.sparkContext
     metrics: list[IterationMetrics] = []
     total_iters = cfg.num_iters if cfg.num_iters > 0 else cfg.max_iters
+    if cfg.num_iters == 0 and start_iter >= total_iters:
+        # resumed at/past max_iters with a converged snapshot: run one
+        # verification sweep instead of skipping the loop and raising
+        total_iters = start_iter + 1
     it = start_iter
     prev = x
     while it < total_iters:
@@ -272,9 +282,14 @@ def run_pagerank_spmv(g: Graph, cfg: PageRankConfig | None = None,
     return PageRankResult(ranks=to_df(x), iterations=it, metrics=metrics)
 
 
-# crossover guide: broadcast cost is 8|V| bytes/executor; prefer SpMV below
-# ~1e8 vertices, the shuffle-join path beyond (see module docstring).
-SPMV_MAX_VERTICES = 100_000_000
+# crossover guide: each sweep moves O(|V|) through the driver twice — the
+# 8|V|-byte rank broadcast out and the ~|V|-row Arrow collect of per-block
+# partial sums back (bounded by |V| + hub-salt duplicates). At 1e7 vertices
+# that is ~80 MB+160 MB per sweep through one driver — comfortably inside a
+# driver's NIC/second; at 1e8 it is the bottleneck. The shuffle-join path has
+# no single-machine O(|V|) state, so it takes over beyond this crossover
+# (measured handoff: BENCH/BASELINE.md §5).
+SPMV_MAX_VERTICES = 10_000_000
 
 
 def run_pagerank_auto(g: Graph, cfg: PageRankConfig | None = None,

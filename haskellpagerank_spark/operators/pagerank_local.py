@@ -94,6 +94,10 @@ def run_pagerank_local(g: Graph, cfg: PageRankConfig | None = None,
 
     metrics: list[IterationMetrics] = []
     total_iters = cfg.num_iters if cfg.num_iters > 0 else cfg.max_iters
+    if cfg.num_iters == 0 and start_iter >= total_iters:
+        # resumed at/past max_iters with a converged snapshot: run one
+        # verification sweep instead of skipping the loop and raising
+        total_iters = start_iter + 1
     it = start_iter
     prev = x
     while it < total_iters:

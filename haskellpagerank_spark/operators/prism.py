@@ -103,7 +103,15 @@ def run_pagerank_incremental(g: Graph, cfg: PageRankConfig | None = None,
         frontier = state.where(
             F.abs(F.col("x") - F.col("sent")) > eps).select(
             "id", (F.col("x") - F.col("sent")).alias("delta"))
-        n_active = frontier.count()
+        frontier = frontier.localCheckpoint(eager=False)
+        # one scalar agg: frontier size + TRUE residuals (sum/max of the
+        # un-sent deltas), so the manifest is comparable across strategies
+        stats = frontier.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.abs("delta")), F.lit(0.0)).alias("l1"),
+            F.coalesce(F.max(F.abs("delta")), F.lit(0.0)).alias("linf"),
+        ).first()
+        n_active = int(stats["n"])
         if n_active == 0:
             break
         msgs = (
@@ -130,8 +138,8 @@ def run_pagerank_incremental(g: Graph, cfg: PageRankConfig | None = None,
             .localCheckpoint(eager=True)
         )
         m = IterationMetrics(
-            iteration=it, l1_residual=float(n_active),
-            linf_residual=0.0, rows_shuffled=n_active,
+            iteration=it, l1_residual=float(stats["l1"]),
+            linf_residual=float(stats["linf"]), rows_shuffled=n_active,
             wall_s=time.monotonic() - t0,
             extra={"frontier": n_active, "strategy": "incremental"},
         )

@@ -97,11 +97,13 @@ def pagerank_jacobi(src, dst, n, damping=0.15, eps=1e-4, init=1.0,
 
 
 def pagerank_gauss_seidel(src, dst, n, damping=0.15, eps=1e-4, init=1.0,
-                          num_iters=0, max_iters=100000):
+                          num_iters=0, max_iters=100000, schedule=None):
     """Reference async/sequential semantics (PageRank.hs, single-thread path).
 
-    In-place sweep in vertex-id order over the in-adjacency; returns the
-    array AFTER the converging sweep (single buffer, PageRank.hs:105).
+    In-place sweep over the in-adjacency in ``schedule`` order (default:
+    vertex-id order); returns the array AFTER the converging sweep (single
+    buffer, PageRank.hs:105). ``schedule`` lets pagerank_pp below express
+    the color-scheduled variant.
     """
     outdeg = out_degrees(src, n)
     n_nonsink = int((outdeg > 0).sum())
@@ -112,10 +114,11 @@ def pagerank_gauss_seidel(src, dst, n, damping=0.15, eps=1e-4, init=1.0,
     starts = np.searchsorted(in_dst, np.arange(n))
     ends = np.searchsorted(in_dst, np.arange(n), side="right")
     x = np.full(n, float(init))
+    schedule = list(range(n)) if schedule is None else list(schedule)
 
     def sweep() -> bool:
         above = False
-        for v in range(n):
+        for v in schedule:
             old = x[v]
             if outdeg[v] == 0:
                 x[v] = 0.0
@@ -134,6 +137,19 @@ def pagerank_gauss_seidel(src, dst, n, damping=0.15, eps=1e-4, init=1.0,
         if not sweep():
             return x
     raise RuntimeError("pagerank_gauss_seidel did not converge")
+
+
+def pagerank_pp(src, dst, n, colors, damping=0.15, eps=1e-4, init=1.0,
+                num_iters=0, max_iters=100000):
+    """Color-scheduled Gauss–Seidel ("pagerankPP",
+    PageRankWithPreprocessing.hs:170-294): sweeps visit color classes in
+    ascending color order. Given a proper coloring, same-colored vertices
+    are non-adjacent, so this sequential schedule is bit-equivalent to the
+    reference's (and the engine's) simultaneous per-color update."""
+    schedule = sorted(range(n), key=lambda v: (colors[v], v))
+    return pagerank_gauss_seidel(src, dst, n, damping=damping, eps=eps,
+                                 init=init, num_iters=num_iters,
+                                 max_iters=max_iters, schedule=schedule)
 
 
 def pagerank_redistribute(src, dst, n, damping=0.85, eps=1e-6, init=None,

@@ -30,6 +30,7 @@ from .operators.triangles import triangle_count
 from .sources.tpch_graph import (
     CS_EDGES_SQL, cs_graph, num_customers,
 )
+from . import sql_twins as SQ
 
 DAMPING = 0.85
 NATION_TOP_EDGES = 120
@@ -344,12 +345,14 @@ def _q_triangles_nation(spark, sf_dir):
 
 def _q_prism_nation(spark, sf_dir):
     """Incremental (activation-set) PageRank, reference semantics, on the
-    amended nation graph; rows-only driver check (fixpoint parity is
-    pytest-verified against the converged oracle)."""
+    amended nation graph. Driven to a 1e-11 activation threshold so the
+    result agrees with the converged fixpoint (the DuckDB twin: the
+    reflect-mode power iteration unrolled far past machine-precision
+    convergence) to well inside the 6-decimal rounding."""
     from .operators.prism import run_pagerank_incremental
     g = nation_trade_graph(spark, sf_dir)
     res = run_pagerank_incremental(g, PageRankConfig(
-        damping=0.15, tol=1e-8, sink_mode="reflect", max_iters=300))
+        damping=0.15, tol=1e-11, sink_mode="reflect", max_iters=300))
     return res.ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
@@ -368,7 +371,16 @@ def _q_coloring_greedy_nation(spark, sf_dir):
 
 
 def _q_coloring_jp_nation(spark, sf_dir):
-    return C.jones_plassmann(nation_trade_graph(spark, sf_dir), seed=42).df
+    """JP with explicit LCG priorities (sql_twins.JP_PRIORITY_SQL) instead
+    of the xxhash64 default — same fixed point machinery, but the priority
+    function is reproducible in DuckDB, so the driver gate hash-checks the
+    full JP coloring."""
+    g = nation_trade_graph(spark, sf_dir)
+    pri = g.vertices().select(
+        "id",
+        ((F.col("id") * F.lit(1103515245) + F.lit(12345))
+         % F.lit(2147483648)).alias("priority"))
+    return C.jones_plassmann(g, priorities=pri).df
 
 
 # (a cs-graph Jones–Plassmann run lives in pytest —
@@ -379,15 +391,25 @@ def _q_coloring_jp_nation(spark, sf_dir):
 
 def _q_pages_pagerank(spark, sf_dir):
     """M0 showcase: deterministic pages -> extract -> encode -> PageRank.
-    Generated input (no oracle view); rows-only driver check."""
+    The encoded link graph (edges + url dictionary) is exported as a
+    parquet handoff; the DuckDB twin unrolls the same 5-sweep power
+    iteration over it, so the full pipeline output is hash-checked.
+    Top-20 ordering uses the ROUNDED rank (+ id tie-break) so both engines
+    rank identically."""
     from .sources.pages import build_graph, generate_pages
     pages = generate_pages(spark, num_pages=2000, seed=42, avg_links=6)
     g, vertices = build_graph(pages)
+    g.edges.write.mode("overwrite").parquet(
+        f"{SQ.HANDOFF_DIR}/pages_edges.parquet")
+    vertices.write.mode("overwrite").parquet(
+        f"{SQ.HANDOFF_DIR}/pages_vertices.parquet")
     res = run_pagerank(g, PageRankConfig(
         damping=DAMPING, num_iters=5, sink_mode="redistribute"))
-    from .operators.pagerank import top_k
-    return top_k(res.ranks, 20).join(vertices, "id").select(
-        "url", "id", F.round("rank", 8).alias("rank"))
+    r = res.ranks.select("id", F.round("rank", 8).alias("rank"))
+    top = r.orderBy(F.desc("rank"), F.asc("id")).limit(20)
+    # vertices stays cached: the returned (lazy) plan joins through it —
+    # the harness consumes it and tears down the session per run
+    return top.join(vertices, "id").select("url", "id", "rank")
 
 
 def _q_token_stats(spark, sf_dir):
@@ -428,12 +450,19 @@ def _q_neardup_jaccard(spark, sf_dir):
 
 
 def _q_minhash_lsh(spark, sf_dir):
+    """md5 hash mode so candidate generation is DuckDB-reproducible and the
+    driver gate hash-checks the full LSH pipeline (xxhash64 mode keeps the
+    brute-force-Jaccard parity pytest)."""
     return D.minhash_lsh_pairs(
-        _docs(spark, sf_dir), n=3, num_hashes=64, bands=16, threshold=0.5)
+        _docs(spark, sf_dir), n=3, num_hashes=64, bands=16, threshold=0.5,
+        hash_mode="md5")
 
 
 def _q_simhash_pairs(spark, sf_dir):
-    return D.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=12)
+    """md5 hash mode (60-bit signatures, 4x15-bit banding) — DuckDB twin
+    hash-checks signatures, banding, and Hamming filter exactly."""
+    return D.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=12,
+                                hash_mode="md5")
 
 
 def _q_cosine_pairs(spark, sf_dir):
@@ -450,10 +479,21 @@ def _q_ann_lsh(spark, sf_dir):
 
 
 def _q_ann_ivf(spark, sf_dir):
-    """IVF-bucketed ANN (approximate; recall vs brute force is
-    pytest-measured) — rows-only driver check."""
-    return S.ann_ivf_topk(_emb(spark, sf_dir),
-                          query_ids=list(range(10)), k=5)
+    """IVF-bucketed ANN. The fitted unit centroids are exported as a
+    parquet handoff so the DuckDB twin re-derives assignment, probing, and
+    exact re-rank from the same quantizer (k-means itself is not SQL;
+    recall vs brute force stays pytest-measured)."""
+    import pandas as pd
+    emb = _emb(spark, sf_dir)
+    cents = S.fit_ivf_centroids(emb, n_cells=16)
+    cdf = spark.createDataFrame(
+        pd.DataFrame({"cell": list(range(len(cents))),
+                      "c": [[float(x) for x in row] for row in cents]}),
+        schema="cell int, c array<double>")
+    cdf.coalesce(1).write.mode("overwrite").parquet(
+        f"{SQ.HANDOFF_DIR}/ann_ivf_centroids.parquet")
+    return S.ann_ivf_topk(emb, query_ids=list(range(10)), k=5,
+                          centroids=cents)
 
 
 def _q_events_user_daily(spark, sf_dir):
@@ -815,6 +855,46 @@ ORACLES: dict[str, str] = {
     ),
     "cc_cs": cc_minlabel_sql(CS_EDGES_SQL, CS_VERTS_SQL, 20),
     "cc_spmv_cs": cc_minlabel_sql(CS_EDGES_SQL, CS_VERTS_SQL, 20),
+    # coloring fixed points, unrolled: 26 rounds covers the longest
+    # id-increasing (resp. priority-decreasing) path on the 25-vertex
+    # nation graph; extra rounds are no-ops at the fixed point
+    "coloring_greedy_nation": SQ.greedy_coloring_sql(
+        NATION_EDGES_SQL, NATION_VERTS_SQL, rounds=26),
+    "coloring_jp_nation": SQ.jp_coloring_sql(
+        NATION_EDGES_SQL, NATION_VERTS_SQL, rounds=26),
+    "coloring_d2_nation": SQ.d2_coloring_sql(
+        NATION_EDGES_SQL, NATION_VERTS_SQL, rounds=26),
+    "coloring_speculative_nation": SQ.speculative_coloring_sql(
+        NATION_EDGES_SQL, NATION_VERTS_SQL, rounds=26),
+    # prism converges to the reflect-mode fixpoint; the twin is the power
+    # iteration unrolled to far past machine precision (0.15^40 ~ 1e-33)
+    "prism_nation": pagerank_reflect_sql(
+        NATION_EDGES_SQL, NATION_VERTS_SQL, 40, round_to=6),
+    "neardup_minhash_lsh": SQ.minhash_lsh_sql(
+        f"""SELECT doc_id AS id, {_SHINGLES_SQL} AS sh
+            FROM (SELECT doc_id, {TOK_SQL} AS tok FROM documents)""",
+        num_hashes=64, bands=16, threshold=0.5),
+    "neardup_simhash": SQ.simhash_sql(
+        f"SELECT doc_id AS id, unnest({TOK_SQL}) AS t FROM documents",
+        max_hamming=12),
+    "ann_lsh_pairs": SQ.ann_lsh_pairs_sql(
+        dim=64, threshold=0.35, bits=12, tables=6, seed=42),
+    "ann_ivf_topk": SQ.ann_ivf_topk_sql(
+        n_query=10, k=5, n_probe=4,
+        centroids_path=f"{SQ.HANDOFF_DIR}/ann_ivf_centroids.parquet"),
+    "pages_linkgraph_pagerank": f"""
+        WITH pr AS MATERIALIZED ({{pr}}),
+        top AS (SELECT id, rank FROM pr ORDER BY rank DESC, id ASC LIMIT 20)
+        SELECT v.url, t.id, t.rank FROM top t
+        JOIN read_parquet('{SQ.HANDOFF_DIR}/pages_vertices.parquet/*.parquet') v
+        ON t.id = v.id
+    """.format(pr=pagerank_sql(
+        f"SELECT src, dst FROM read_parquet("
+        f"'{SQ.HANDOFF_DIR}/pages_edges.parquet/*.parquet')",
+        f"SELECT id FROM read_parquet("
+        f"'{SQ.HANDOFF_DIR}/pages_vertices.parquet/*.parquet')",
+        5)),
+    "multimodal_features": SQ.multimodal_features_sql(),
     "multimodal_metadata": """
         SELECT doc_id AS media_id,
                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

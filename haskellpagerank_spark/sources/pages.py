@@ -243,7 +243,7 @@ def extract_text(pages: DataFrame) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            html = b["html"].apply(lambda x: bytes(x).decode("utf-8"))
+            html = b["html"].str.decode("utf-8")  # vectorized, no per-row Python
             text = (
                 html.str.replace(_TAG_RE, " ", regex=True)
                 .str.replace(_WS_RE, " ", regex=True)
@@ -266,7 +266,7 @@ def extract_links(pages: DataFrame) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            html = b["html"].apply(lambda x: bytes(x).decode("utf-8"))
+            html = b["html"].str.decode("utf-8")  # vectorized, no per-row Python
             hits = html.str.extractall(_HREF_RE)
             if hits.empty:
                 yield pd.DataFrame({"src_url": [], "dst_url": []}).astype("str")
@@ -327,9 +327,14 @@ def build_graph(pages: DataFrame) -> tuple[Graph, DataFrame]:
     # persist raw: encode_vertices reads it twice (src ∪ dst) and
     # encode_edges once more — unpersisted, generation+extraction would
     # recompute per pass (at production scale this is a parquet checkpoint
-    # of the extracted edge list, not an in-memory cache)
+    # of the extracted edge list, not an in-memory cache). The encoded edge
+    # list is materialized here (localCheckpoint) so raw can be RELEASED
+    # before returning — no cached blocks leak across repeated builds.
+    # ``vertices`` stays persisted because it is returned: the caller owns
+    # that cache (unpersist it when done with the url<->id map).
     raw = extract_links(pages).persist()
     vertices = encode_vertices(raw).persist()
     n = vertices.count()
-    edges = encode_edges(raw, vertices)
+    edges = encode_edges(raw, vertices).localCheckpoint(eager=True)
+    raw.unpersist()
     return from_edge_df(edges, num_vertices=n), vertices

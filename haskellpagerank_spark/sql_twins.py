@@ -1,0 +1,410 @@
+"""Programmatic DuckDB SQL twins for the driver's hash-exact oracle gate.
+
+Round-1 left 11 driver queries on the weaker rows-only check (no SQL
+oracle); this module generates their exact DuckDB twins:
+
+- unrolled fixed-point SQL for the four graph colorings (greedy / JP /
+  distance-2 / speculative) — the same MATERIALIZED-CTE unrolling pattern
+  as ``queries.pagerank_sql``, with the mex expressed via DuckDB list
+  functions;
+- per-color Gauss–Seidel PageRank ("pagerankPP") — greedy-coloring CTEs
+  feeding sweeps of per-color-slot rank updates;
+- MinHash-LSH and SimHash in *md5 hash mode*: both engines derive 60-bit
+  hashes as ``int('0x' + md5(s)[:15])`` (Spark ``conv(substring(md5,1,15),
+  16,10)``; DuckDB ``CAST('0x' || substr(md5,1,15) AS BIGINT)``), making
+  candidate generation bit-reproducible across engines. The xxhash64 mode
+  stays the production path (JVM-native, no string round-trip).
+- random-hyperplane LSH buckets with the seeded unit hyperplanes baked in
+  as SQL literals (float64 repr round-trips exactly);
+- sha256-derived multimodal stub features re-derived arithmetically;
+- IVF-ANN assignment + probe + re-rank over centroids the Spark query
+  exports to ``HANDOFF_DIR`` (parquet handoff: DuckDB cannot run k-means,
+  but everything downstream of the fitted centroids is SQL).
+
+All float aggregations that feed a hash comparison are sequenced
+identically on both sides (Spark ``F.aggregate`` fold order == explicit
+nested additions here) and rounded identically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Spark queries write cross-engine handoff tables (exported centroids, the
+# encoded pages link graph) under this directory; oracle SQL reads them via
+# read_parquet. The harness runs each Spark query immediately before its
+# oracle, so last-write-wins is correct per run.
+HANDOFF_DIR = "/tmp/hpr_oracle_handoff"
+
+# deterministic linear-congruential priority — trivially reproducible in
+# both engines (no overflow: id * 1103515245 stays far below 2^63)
+JP_PRIORITY_SQL = "(id * 1103515245 + 12345) % 2147483648"
+
+
+def _mex(expr: str) -> str:
+    """DuckDB mex: smallest int >= 1 absent from the list ``expr``
+    (findSmallestPossibleColor, GraphColoring.hs:229-241)."""
+    lst = f"COALESCE({expr}, [])"
+    return (f"COALESCE(list_min(list_filter(range(1, len({lst}) + 2), "
+            f"x -> NOT list_contains({lst}, x))), 1)")
+
+
+def _und_ctes(edges_sql: str, verts_sql: str) -> list[str]:
+    return [
+        f"verts AS MATERIALIZED ({verts_sql})",
+        f"e0 AS MATERIALIZED (SELECT src, dst FROM ({edges_sql}) "
+        "WHERE src <> dst)",
+        "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0))",
+    ]
+
+
+def _fixed_point_rounds(rounds: int) -> list[str]:
+    """The shared coloring fixed point over a predecessor table ``pe(src,
+    dst)`` (dst = predecessor of src): each round colors every uncolored
+    vertex whose predecessors are all colored, with the mex of their
+    colors — mirrors operators.coloring._fixed_point_coloring exactly."""
+    ctes = ["c0 AS MATERIALIZED (SELECT id, CAST(NULL AS INTEGER) AS color "
+            "FROM verts)"]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"ps{i} AS MATERIALIZED (SELECT pe.src AS id, "
+            "COUNT(*) AS n_pred, COUNT(c.color) AS n_colored, "
+            "list(c.color) FILTER (WHERE c.color IS NOT NULL) AS pcolors "
+            f"FROM pe JOIN c{p} c ON pe.dst = c.id GROUP BY 1)"
+        )
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT v.id, "
+            "CASE WHEN c.color IS NOT NULL THEN c.color "
+            "WHEN COALESCE(ps.n_colored, 0) = COALESCE(ps.n_pred, 0) "
+            f"THEN {_mex('ps.pcolors')} ELSE NULL END AS color "
+            f"FROM verts v LEFT JOIN c{p} c ON v.id = c.id "
+            f"LEFT JOIN ps{i} ps ON v.id = ps.id)"
+        )
+    return ctes
+
+
+def greedy_coloring_sql(edges_sql: str, verts_sql: str, rounds: int) -> str:
+    """graphColoringGreedyInputOrder fixed point: predecessors = lower-id
+    both-direction neighbors. ``rounds`` must cover the longest
+    id-increasing path (<= |V|); extra rounds are no-ops."""
+    ctes = _und_ctes(edges_sql, verts_sql)
+    ctes.append("pe AS MATERIALIZED (SELECT src, dst FROM und "
+                "WHERE dst < src)")
+    ctes += _fixed_point_rounds(rounds)
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, color FROM c{rounds}"
+
+
+def jp_coloring_sql(edges_sql: str, verts_sql: str, rounds: int) -> str:
+    """Jones–Plassmann fixed point with the LCG priorities of
+    JP_PRIORITY_SQL: u precedes v iff (pri[u], u) < (pri[v], v)."""
+    ctes = _und_ctes(edges_sql, verts_sql)
+    ctes.append(
+        f"pri AS MATERIALIZED (SELECT id, {JP_PRIORITY_SQL} AS p FROM verts)")
+    ctes.append(
+        "pe AS MATERIALIZED (SELECT u.src, u.dst FROM und u "
+        "JOIN pri a ON u.src = a.id JOIN pri b ON u.dst = b.id "
+        "WHERE b.p < a.p OR (b.p = a.p AND u.dst < u.src))")
+    ctes += _fixed_point_rounds(rounds)
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, color FROM c{rounds}"
+
+
+def d2_coloring_sql(edges_sql: str, verts_sql: str, rounds: int) -> str:
+    """Distance-2 greedy fixed point: predecessors = lower-id vertices at
+    distance <= 2 in the undirected simple graph."""
+    ctes = _und_ctes(edges_sql, verts_sql)
+    ctes.append(
+        "two AS MATERIALIZED (SELECT a.src AS src, b.dst AS dst "
+        "FROM und a JOIN und b ON a.dst = b.src WHERE a.src <> b.dst)")
+    ctes.append(
+        "near AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT * FROM und UNION ALL SELECT * FROM two))")
+    ctes.append("pe AS MATERIALIZED (SELECT src, dst FROM near "
+                "WHERE dst < src)")
+    ctes += _fixed_point_rounds(rounds)
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, color FROM c{rounds}"
+
+
+def speculative_coloring_sql(edges_sql: str, verts_sql: str,
+                             rounds: int) -> str:
+    """Synchronous conflict-fix loop (operators.coloring.speculative_
+    coloring): init all colors 1; per round a vertex whose color collides
+    with a higher-id neighbor recolors to the mex over its higher-id
+    neighbors' colors. Stable fixed point -> extra rounds are no-ops."""
+    ctes = _und_ctes(edges_sql, verts_sql)
+    ctes.append("higher AS MATERIALIZED (SELECT src, dst FROM und "
+                "WHERE dst > src)")
+    ctes.append("c0 AS MATERIALIZED (SELECT id, 1 AS color FROM verts)")
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"nb{i} AS MATERIALIZED (SELECT h.src AS id, "
+            "list(c.color) AS ncolors "
+            f"FROM higher h JOIN c{p} c ON h.dst = c.id GROUP BY 1)"
+        )
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT c.id, "
+            "CASE WHEN list_contains(COALESCE(nb.ncolors, []), c.color) "
+            f"THEN {_mex('nb.ncolors')} ELSE c.color END AS color "
+            f"FROM c{p} c LEFT JOIN nb{i} nb ON c.id = nb.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, color FROM c{rounds}"
+
+
+# ------------------------------------------------- per-color Gauss–Seidel
+
+def pagerank_pp_sql(edges_sql: str, verts_sql: str, sweeps: int,
+                    max_colors: int, coloring_rounds: int,
+                    damping: float = 0.15, round_to: int = 8) -> str:
+    """Unrolled pagerankPP (PageRankWithPreprocessing.hs:269-294): greedy
+    coloring of the amended graph (== coloring of the raw graph: amendSinks
+    only reverses existing edges, so the undirected neighbor sets are
+    identical), then ``sweeps`` Gauss–Seidel sweeps, each a sequence of
+    ``max_colors`` per-color-slot updates (empty slots are no-ops).
+    Reference semantics: dconst = (1-d)/n_nonsink over the amended graph,
+    vertices with no amended out-edges pinned to 0, init 1/|V|."""
+    ctes = _und_ctes(edges_sql, verts_sql)
+    # amended weighted edge set (same CTE chain as pagerank_reflect_sql)
+    ctes += [
+        "snk AS MATERIALIZED (SELECT id FROM verts "
+        "WHERE id NOT IN (SELECT src FROM e0))",
+        "refl AS MATERIALIZED (SELECT e.dst AS src, e.src AS dst "
+        "FROM e0 e JOIN snk ON e.dst = snk.id)",
+        "ae AS MATERIALIZED (SELECT * FROM e0 UNION ALL SELECT * FROM refl)",
+        "e AS MATERIALIZED (SELECT src, dst, COUNT(*) AS cnt FROM ae "
+        "GROUP BY 1, 2)",
+        "deg AS MATERIALIZED (SELECT src, SUM(cnt) AS deg FROM e GROUP BY 1)",
+        "w AS MATERIALIZED (SELECT e.src, e.dst, "
+        "CAST(e.cnt AS DOUBLE) / deg.deg AS w "
+        "FROM e JOIN deg ON e.src = deg.src)",
+        "ns AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg)",
+        "nv AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+        "pe AS MATERIALIZED (SELECT src, dst FROM und WHERE dst < src)",
+    ]
+    ctes += _fixed_point_rounds(coloring_rounds)
+    ctes.append(f"col AS MATERIALIZED (SELECT id, color FROM "
+                f"c{coloring_rounds})")
+    ctes.append("r0_0 AS MATERIALIZED (SELECT id, "
+                "1.0 / (SELECT n FROM nv) AS rank FROM verts)")
+    dconst = f"(1.0 - {damping}) / (SELECT n FROM ns)"
+    prev = "r0_0"
+    for s in range(1, sweeps + 1):
+        for k in range(1, max_colors + 1):
+            cur = f"r{s}_{k}"
+            ctes.append(
+                f"m{s}_{k} AS MATERIALIZED (SELECT w.dst AS id, "
+                "SUM(w.w * r.rank) AS msg "
+                f"FROM w JOIN {prev} r ON w.src = r.id "
+                f"JOIN col ON w.dst = col.id AND col.color = {k} GROUP BY 1)"
+            )
+            ctes.append(
+                f"{cur} AS MATERIALIZED (SELECT r.id, "
+                f"CASE WHEN col.color = {k} THEN "
+                "CASE WHEN d.src IS NULL THEN 0.0 "
+                f"ELSE {dconst} + {damping} * COALESCE(m.msg, 0.0) END "
+                "ELSE r.rank END AS rank "
+                f"FROM {prev} r JOIN col ON r.id = col.id "
+                f"LEFT JOIN m{s}_{k} m ON r.id = m.id "
+                "LEFT JOIN deg d ON r.id = d.src)"
+            )
+            prev = cur
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, ROUND(rank, {round_to}) AS rank FROM {prev}")
+
+
+# ------------------------------------------------------- md5-mode sketches
+
+def _md5_60bit(expr: str) -> str:
+    """DuckDB twin of Spark ``conv(substring(md5(x), 1, 15), 16, 10)``:
+    the top 60 bits of md5 as a non-negative BIGINT."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def minhash_lsh_sql(shingles_sql: str, num_hashes: int, bands: int,
+                    threshold: float, jaccard_round: int = 6) -> str:
+    """MinHash+LSH twin in md5 hash mode. ``shingles_sql`` must yield
+    (id, sh: list<varchar>) — the distinct word shingles per document."""
+    rpb = num_hashes // bands
+    band_keys = ", ".join(
+        "(" + _md5_60bit(
+            f"array_to_string(sig[{b * rpb + 1}:{b * rpb + rpb}], ',')"
+        ) + f") AS k{b}"
+        for b in range(bands)
+    )
+    band_structs = ", ".join(
+        f"{{'band': {b}, 'key': k{b}}}" for b in range(bands))
+    return f"""
+WITH base AS MATERIALIZED ({shingles_sql}),
+ex AS MATERIALIZED (SELECT id, unnest(sh) AS s FROM base),
+mh AS MATERIALIZED (
+    SELECT id, i,
+           MIN({_md5_60bit("s || chr(31) || CAST(i AS VARCHAR)")}) AS m
+    FROM ex CROSS JOIN (SELECT unnest(range({num_hashes})) AS i)
+    GROUP BY 1, 2),
+sig AS MATERIALIZED (
+    SELECT id, list(m ORDER BY i) AS sig FROM mh GROUP BY 1),
+keys AS MATERIALIZED (SELECT id, {band_keys} FROM sig),
+bands AS MATERIALIZED (
+    SELECT id, unnest([{band_structs}], recursive := true) FROM keys),
+cand AS MATERIALIZED (
+    SELECT DISTINCT x.id AS id_a, y.id AS id_b
+    FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+    WHERE x.id < y.id),
+j AS (
+    SELECT c.id_a, c.id_b,
+           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                 {jaccard_round}) AS jaccard
+    FROM cand c JOIN base a ON c.id_a = a.id JOIN base b ON c.id_b = b.id)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold}
+"""
+
+
+def simhash_sql(tokens_sql: str, max_hamming: int, n_bits: int = 60,
+                chunk_bits: int = 15) -> str:
+    """SimHash twin in md5 hash mode: 60-bit signatures from per-token md5
+    bit votes, 4 x 15-bit chunk banding. ``tokens_sql`` must yield
+    (id, t) — one row per token occurrence."""
+    n_chunks = n_bits // chunk_bits
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(n_bits))
+    sig = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(n_bits))
+    chunk_structs = ", ".join(
+        f"{{'chunk': {c}, 'key': (simhash >> {c * chunk_bits}) "
+        f"& {(1 << chunk_bits) - 1}}}"
+        for c in range(n_chunks))
+    return f"""
+WITH tok AS MATERIALIZED ({tokens_sql}),
+h AS MATERIALIZED (SELECT id, {_md5_60bit('t')} AS h FROM tok),
+voted AS MATERIALIZED (SELECT id, {votes} FROM h GROUP BY 1),
+sigs AS MATERIALIZED (SELECT id, CAST({sig} AS BIGINT) AS simhash
+                      FROM voted),
+chunks AS MATERIALIZED (
+    SELECT id, simhash, unnest([{chunk_structs}], recursive := true)
+    FROM sigs)
+SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+       bit_count(xor(x.simhash, y.simhash)) AS hamming
+FROM chunks x JOIN chunks y ON x.chunk = y.chunk AND x.key = y.key
+WHERE x.id < y.id AND bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+"""
+
+
+# ------------------------------------------------------------ LSH ANN twin
+
+def _hyperplanes(dim: int, bits: int, tables: int, seed: int) -> np.ndarray:
+    """Must stay identical to functions.similarity._hyperplanes."""
+    rng = np.random.default_rng(seed)
+    h = rng.standard_normal((tables, bits, dim))
+    return h / np.linalg.norm(h, axis=2, keepdims=True)
+
+
+def ann_lsh_pairs_sql(dim: int, threshold: float, bits: int, tables: int,
+                      seed: int, cosine_round: int = 6) -> str:
+    """LSH bucket + exact-cosine-re-rank twin over the embeddings view.
+    The seeded unit hyperplanes are baked in as literals (repr(float64)
+    round-trips exactly, so DuckDB parses the same doubles numpy holds)."""
+    planes = _hyperplanes(dim, bits, tables, seed)
+    sigs = []
+    for t in range(tables):
+        terms = []
+        for b in range(bits):
+            lits = ", ".join(repr(float(x)) for x in planes[t, b])
+            terms.append(f"CASE WHEN list_dot_product(e, [{lits}]) > 0 "
+                         f"THEN {1 << b} ELSE 0 END")
+        sigs.append(f"SELECT id, {t} AS t, ({' + '.join(terms)}) AS bucket "
+                    "FROM v")
+    sig_union = "\nUNION ALL\n".join(sigs)
+    return f"""
+WITH v AS MATERIALIZED (
+    SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings),
+sig AS MATERIALIZED ({sig_union}),
+cand AS MATERIALIZED (
+    SELECT DISTINCT x.id AS id_a, y.id AS id_b
+    FROM sig x JOIN sig y ON x.t = y.t AND x.bucket = y.bucket
+    WHERE x.id < y.id),
+scored AS (
+    SELECT c.id_a, c.id_b,
+           ROUND(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))),
+                 {cosine_round}) AS cosine
+    FROM cand c JOIN v a ON c.id_a = a.id JOIN v b ON c.id_b = b.id)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+"""
+
+
+# ------------------------------------------------------------ IVF ANN twin
+
+def ann_ivf_topk_sql(n_query: int, k: int, n_probe: int,
+                     centroids_path: str, cosine_round: int = 6) -> str:
+    """IVF assignment + probe + exact re-rank over the unit centroids the
+    Spark query exports to ``centroids_path`` (parquet handoff — k-means
+    itself is not SQL, everything downstream is). Assignment order matches
+    ivf_assignments exactly: sim DESC, cell ASC."""
+    return f"""
+WITH c AS MATERIALIZED (
+    SELECT cell, c FROM read_parquet('{centroids_path}/*.parquet')),
+v AS MATERIALIZED (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings),
+sims AS MATERIALIZED (
+    SELECT v.vec_id, c.cell, list_dot_product(v.e, c.c) AS s,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_dot_product(v.e, c.c) DESC,
+                                       c.cell ASC) AS rn
+    FROM v CROSS JOIN c),
+cells AS MATERIALIZED (
+    SELECT vec_id AS id, cell FROM sims WHERE rn = 1),
+qcells AS MATERIALIZED (
+    SELECT vec_id AS query_id, cell FROM sims
+    WHERE rn <= {n_probe} AND vec_id < {n_query}),
+cand AS MATERIALIZED (
+    SELECT DISTINCT q.query_id, d.id AS neighbor_id
+    FROM qcells q JOIN cells d ON q.cell = d.cell
+    WHERE q.query_id <> d.id),
+scored AS (
+    SELECT c.query_id, c.neighbor_id,
+           list_dot_product(q.e, d.e)
+           / (sqrt(list_dot_product(q.e, q.e))
+              * sqrt(list_dot_product(d.e, d.e))) AS cs
+    FROM cand c JOIN v q ON c.query_id = q.vec_id
+    JOIN v d ON c.neighbor_id = d.vec_id)
+SELECT query_id, neighbor_id, ROUND(cs, {cosine_round}) AS cosine FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cs DESC, neighbor_id ASC) AS rn
+    FROM scored
+) WHERE rn <= {k}
+"""
+
+
+# ------------------------------------------------- multimodal feature twin
+
+def multimodal_features_sql(feature_dim: int = 16, round_to: int = 6) -> str:
+    """Twin of functions.multimodal._decode_stub: feature i = float32(
+    uint32_LE(sha256(payload) bytes [4i..4i+4)) / 2^32) with the digest
+    repeated (so feature i uses digest word i mod 8); feature_sum folds the
+    float32 features into a double left-to-right — exactly Spark's
+    ``F.aggregate(features, 0.0, (a, x) -> a + double(x))`` order.
+    The payload is the utf-8 text bytes, so DuckDB's sha256(text) hashes
+    the same bytes hashlib sees."""
+    words = []
+    for j in range(8):  # digest = 8 uint32 words, little-endian
+        o = 8 * j
+        be_hex = " || ".join(
+            f"substr(h, {o + off + 1}, 2)" for off in (6, 4, 2, 0))
+        words.append(
+            f"CAST(CAST('0x' || {be_hex} AS BIGINT) / 4294967296.0 "
+            f"AS REAL) AS f{j}")
+    acc = "0.0"
+    for i in range(feature_dim):
+        acc = f"({acc} + CAST(f{i % 8} AS DOUBLE))"
+    return f"""
+WITH m AS (SELECT doc_id AS media_id, sha256(text) AS h FROM documents),
+f AS (SELECT media_id, {', '.join(words)} FROM m)
+SELECT media_id, ROUND({acc}, {round_to}) AS feature_sum FROM f
+"""
