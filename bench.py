@@ -91,22 +91,33 @@ def main() -> None:
     _consume(res5j.ranks)
     queries["pagerank_5iter_joinpath"] = round(time.monotonic() - t0, 3)
 
-    # -- connected components on the cs graph (both physical strategies)
+    # -- connected components on the cs graph: the auto tier (driver-local
+    #    numpy at this |E| — the COST pick) plus both distributed strategies
+    from haskellpagerank_spark.operators.components import (
+        connected_components_auto, label_propagation_auto)
     t0 = time.monotonic()
-    cc = connected_components(g)
+    cc = connected_components_auto(g)
     _consume(cc.df)
     queries["connected_components"] = round(time.monotonic() - t0, 3)
+    extra["cc_strategy"] = cc.metrics[0].extra.get("strategy", "join") \
+        if cc.metrics else "join"
+    t0 = time.monotonic()
+    _consume(connected_components(g).df)
+    queries["connected_components_joinpath"] = round(time.monotonic() - t0, 3)
     from haskellpagerank_spark.operators.components_csr import (
         connected_components_spmv)
     t0 = time.monotonic()
     _consume(connected_components_spmv(g).df)
     queries["connected_components_spmv"] = round(time.monotonic() - t0, 3)
 
-    # -- label propagation, 5 sweeps
+    # -- label propagation, 5 sweeps (auto tier + distributed path)
     t0 = time.monotonic()
-    lp = label_propagation(g, num_iters=5)
+    lp = label_propagation_auto(g, num_iters=5)
     _consume(lp.df)
     queries["label_propagation_5"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    _consume(label_propagation(g, num_iters=5).df)
+    queries["label_propagation_5_joinpath"] = round(time.monotonic() - t0, 3)
 
     # -- triangles on the nation trade graph
     from haskellpagerank_spark.queries import nation_trade_graph
@@ -128,6 +139,27 @@ def main() -> None:
     queries["pages_extract_encode"] = round(t_extract, 3)
     queries["pages_pagerank_5"] = round(time.monotonic() - t0 - t_extract, 3)
     extra["pages_n_edges"] = n_page_edges
+
+    # -- bigger-scale skew point: ~10M edges, 10 mega-hubs holding ~20% of
+    #    all in-edges (~200k each) — far past the salting threshold, so this
+    #    exercises hub salting in build_csr_blocks and AQE skew handling for
+    #    real, at 17x the sf0.1 gate graph
+    from haskellpagerank_spark.operators.pagerank_csr import (
+        run_pagerank_spmv as _spmv)
+    from haskellpagerank_spark.sources.synthetic import synth_graph
+    sg = synth_graph(spark, num_vertices=1_000_000, avg_degree=10,
+                     hub_fraction=0.00001)
+    sg = sg.with_edges(sg.edges.persist())
+    n_skew_edges = sg.edges.count()
+    t0 = time.monotonic()
+    res_skew = _spmv(sg, PageRankConfig(
+        damping=0.85, num_iters=5, sink_mode="redistribute"))
+    _consume(res_skew.ranks)
+    dt_skew = time.monotonic() - t0
+    queries["pagerank_10m_skew_5iter"] = round(dt_skew, 3)
+    extra["skew_n_edges"] = n_skew_edges
+    extra["skew_edges_per_sec"] = round(n_skew_edges * 5 / dt_skew, 1)
+    sg.edges.unpersist()
 
     # -- dedup: MinHash-LSH near-dup pairs over documents
     from haskellpagerank_spark.functions.dedup import minhash_lsh_pairs

@@ -133,8 +133,22 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     # projection collapse — k regex tokenizations per row.)
     sh = docs.select(F.col(id_col).alias("id"),
                      F.explode(word_shingles(text_col, n)).alias("s"))
-    mins = [F.min(_hash64(F.col("s"), i, hash_mode)).alias(f"_m{i}")
-            for i in range(num_hashes)]
+    if hash_mode == "md5":
+        # double hashing (Kirsch–Mitzenmacher): two md5-derived values per
+        # shingle, hash_i = m1 + i * m2lo — k affine combinations instead
+        # of k md5 evaluations (m2lo < 2^30, i < k, m1 < 2^60: no overflow,
+        # so the arithmetic is bit-identical in DuckDB)
+        sh = sh.select(
+            "id",
+            _hash64(F.col("s"), None, "md5").alias("_m1"),
+            (_hash64(F.concat(F.col("s"), F.lit("\x1e")), None, "md5")
+             % F.lit(1 << 30)).alias("_m2"),
+        )
+        mins = [F.min(F.col("_m1") + F.lit(i) * F.col("_m2")).alias(f"_m{i}")
+                for i in range(num_hashes)]
+    else:
+        mins = [F.min(_hash64(F.col("s"), i, hash_mode)).alias(f"_m{i}")
+                for i in range(num_hashes)]
     return (
         sh.groupBy("id").agg(*mins)
         .select("id", F.array(*[f"_m{i}" for i in range(num_hashes)])

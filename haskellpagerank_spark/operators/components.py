@@ -114,6 +114,37 @@ def connected_components(
     return IterativeResult(df=labels, iterations=it, metrics=metrics)
 
 
+def connected_components_auto(g: Graph, **kw) -> IterativeResult:
+    """Scale-tiered dispatch, mirroring pagerank_csr.run_pagerank_auto:
+    driver-local numpy below LOCAL_MAX_EDGES (the COST regime), CSR-block
+    SpMV while the label vector broadcasts comfortably, the shuffle-join
+    frontier path beyond. All three produce identical (id, component)."""
+    from .components_csr import connected_components_spmv
+    from .components_local import connected_components_local
+    from .pagerank_csr import SPMV_MAX_VERTICES
+    from .pagerank_local import LOCAL_MAX_EDGES
+    n_edges = g.edges.count()
+    if n_edges <= LOCAL_MAX_EDGES:
+        return connected_components_local(g)
+    if g.num_vertices <= SPMV_MAX_VERTICES:
+        return connected_components_spmv(g)
+    return connected_components(g, **kw)
+
+
+def label_propagation_auto(g: Graph, num_iters: int = 5,
+                           **kw) -> IterativeResult:
+    """LP tiering: driver-local numpy below LOCAL_MAX_EDGES, the
+    shuffle-join superstep path beyond (LP's mode aggregate has no
+    broadcast-vector SpMV form — the per-dst state is a label multiset,
+    not a scalar). Identical (id, label) across tiers."""
+    from .components_local import label_propagation_local
+    from .pagerank_local import LOCAL_MAX_EDGES
+    n_edges = g.edges.count()
+    if n_edges <= LOCAL_MAX_EDGES:
+        return label_propagation_local(g, num_iters)
+    return label_propagation(g, num_iters, **kw)
+
+
 def label_propagation(
     g: Graph,
     num_iters: int = 5,

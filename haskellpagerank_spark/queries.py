@@ -534,11 +534,36 @@ def _q_pagerank_topk_nation(spark, sf_dir):
     return r.orderBy(F.desc("rank"), F.asc("id")).limit(10)
 
 
+def _q_pagerank_pp_nation(spark, sf_dir):
+    """Per-color Gauss–Seidel ("pagerankPP") on the nation graph, 3 sweeps
+    over the greedy coloring — the DuckDB twin unrolls coloring + sweeps x
+    color-slots and must agree to 8 decimals."""
+    from .operators.pagerank_pp import run_pagerank_pp
+    g = nation_trade_graph(spark, sf_dir)
+    res = run_pagerank_pp(g, PageRankConfig(
+        damping=0.15, num_iters=3, sink_mode="reflect"))
+    return res.ranks.select("id", F.round("rank", 8).alias("rank"))
+
+
 def _q_cc_spmv_cs(spark, sf_dir):
     """CSR-block SpMV connected components, same oracle as cc_cs."""
     from .operators.components_csr import connected_components_spmv
     g = cs_graph(spark, sf_dir)
     return connected_components_spmv(g).df
+
+
+def _q_cc_auto_cs(spark, sf_dir):
+    """Auto-tiered CC (driver-local numpy at gate scale), same oracle as
+    cc_cs — proves the fast tier is hash-identical to the distributed
+    paths."""
+    from .operators.components import connected_components_auto
+    return connected_components_auto(cs_graph(spark, sf_dir)).df
+
+
+def _q_lp_auto_cs_3(spark, sf_dir):
+    """Auto-tiered LP, same oracle as lp_cs_3."""
+    from .operators.components import label_propagation_auto
+    return label_propagation_auto(cs_graph(spark, sf_dir), num_iters=3).df
 
 
 def _q_coloring_d2_nation(spark, sf_dir):
@@ -652,7 +677,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_spmv_cs_5": _q_pagerank_spmv_cs_5,
     "pagerank_reflect_nation_5": _q_pagerank_reflect_nation_5,
     "pagerank_topk_nation": _q_pagerank_topk_nation,
+    "pagerank_pp_nation": _q_pagerank_pp_nation,
     "cc_spmv_cs": _q_cc_spmv_cs,
+    "cc_auto_cs": _q_cc_auto_cs,
+    "lp_auto_cs_3": _q_lp_auto_cs_3,
     "coloring_d2_nation": _q_coloring_d2_nation,
     "coloring_speculative_nation": _q_coloring_speculative_nation,
     "multimodal_metadata": _q_multimodal_metadata,
@@ -855,6 +883,8 @@ ORACLES: dict[str, str] = {
     ),
     "cc_cs": cc_minlabel_sql(CS_EDGES_SQL, CS_VERTS_SQL, 20),
     "cc_spmv_cs": cc_minlabel_sql(CS_EDGES_SQL, CS_VERTS_SQL, 20),
+    "cc_auto_cs": cc_minlabel_sql(CS_EDGES_SQL, CS_VERTS_SQL, 20),
+    "lp_auto_cs_3": lp_sql(CS_EDGES_SQL, CS_VERTS_SQL, 3),
     # coloring fixed points, unrolled: 26 rounds covers the longest
     # id-increasing (resp. priority-decreasing) path on the 25-vertex
     # nation graph; extra rounds are no-ops at the fixed point
@@ -866,6 +896,9 @@ ORACLES: dict[str, str] = {
         NATION_EDGES_SQL, NATION_VERTS_SQL, rounds=26),
     "coloring_speculative_nation": SQ.speculative_coloring_sql(
         NATION_EDGES_SQL, NATION_VERTS_SQL, rounds=26),
+    "pagerank_pp_nation": SQ.pagerank_pp_sql(
+        NATION_EDGES_SQL, NATION_VERTS_SQL, sweeps=3, max_colors=25,
+        coloring_rounds=26),
     # prism converges to the reflect-mode fixpoint; the twin is the power
     # iteration unrolled to far past machine precision (0.15^40 ~ 1e-33)
     "prism_nation": pagerank_reflect_sql(

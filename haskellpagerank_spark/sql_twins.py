@@ -236,10 +236,12 @@ def minhash_lsh_sql(shingles_sql: str, num_hashes: int, bands: int,
         f"{{'band': {b}, 'key': k{b}}}" for b in range(bands))
     return f"""
 WITH base AS MATERIALIZED ({shingles_sql}),
-ex AS MATERIALIZED (SELECT id, unnest(sh) AS s FROM base),
+ex AS MATERIALIZED (
+    SELECT id, {_md5_60bit('s')} AS m1,
+           {_md5_60bit("s || chr(30)")} % {1 << 30} AS m2
+    FROM (SELECT id, unnest(sh) AS s FROM base)),
 mh AS MATERIALIZED (
-    SELECT id, i,
-           MIN({_md5_60bit("s || chr(31) || CAST(i AS VARCHAR)")}) AS m
+    SELECT id, i, MIN(m1 + i * m2) AS m
     FROM ex CROSS JOIN (SELECT unnest(range({num_hashes})) AS i)
     GROUP BY 1, 2),
 sig AS MATERIALIZED (
