@@ -144,6 +144,39 @@ def main() -> int:
         must_not=["BatchEvalPython"],
     )
 
+    # 6. pagerankPP sub-superstep: per-color filtered join + two-phase agg
+    #    (the dcolor filter must prune before the rank join, not after)
+    colors = g.vertices().select("id", (F.col("id") % 3 + 1).alias("color"))
+    ewc = ew.join(colors.select(F.col("id").alias("dst"),
+                                F.col("color").alias("dcolor")), "dst")
+    sub = (
+        ewc.where(F.col("dcolor") == 1)
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.sum(F.col("w") * F.col("rank")).alias("msg"))
+    )
+    audit(
+        "pagerankPP sub-superstep — color-filtered join + two-phase agg",
+        sub,
+        must=["HashAggregate", "Exchange"],
+        must_not=["BatchEvalPython"],
+    )
+
+    # 7. LSH signatures: ONE Arrow kernel; hyperplanes in the closure, so
+    #    the plan is O(1) in embedding dim (no plan literals)
+    from haskellpagerank_spark.functions.similarity import lsh_signatures
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sig = lsh_signatures(emb, dim=64, bits=12, tables=6)
+    audit(
+        "lsh_signatures — single MapInPandas kernel, O(1)-in-dim plan",
+        sig,
+        must=["MapInPandas"],
+        must_not=["BatchEvalPython"],
+    )
+    if len(formatted(sig)) > 50_000:
+        FAILURES.append("lsh_signatures: plan text > 50k chars "
+                        "(literals leaked back into the plan?)")
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

@@ -180,6 +180,30 @@ def test_ann_lsh_recall_on_tight_clusters(emb):
     assert recall >= 0.9, f"LSH recall {recall:.2f}"
 
 
+def test_ann_lsh_dim768_arrow_kernel(spark):
+    """Real-embedding-width LSH (dim 768): recall holds and the hyperplanes
+    live in the kernel closure, NOT the query plan — with plan literals the
+    optimized plan would carry tables*bits*dim (~55k) float literals and
+    megabytes of plan text."""
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((8, 768))
+    rows = [(i, [float(x) for x in
+                 (centers[i % 8] + 0.03 * rng.standard_normal(768))
+                 .astype(np.float32)], i % 8)
+            for i in range(400)]
+    emb768 = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    df = S.ann_lsh_pairs(emb768, dim=768, threshold=0.9, bits=12, tables=6)
+    plan_str = df._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan_str) < 100_000, f"plan blew up: {len(plan_str)} chars"
+    got = df.toPandas()
+    got_pairs = set(zip(got.id_a, got.id_b))
+    want = _brute_cosine_pairs(emb768.toPandas(), 0.9)
+    assert got_pairs <= want
+    recall = len(got_pairs & want) / len(want)
+    assert recall >= 0.85, f"dim-768 LSH recall {recall:.2f}"
+
+
 def test_multimodal_plumbing(spark):
     rows = [(i, "image" if i % 2 == 0 else "video",
              bytes([i]) * (10 + i), 64, 64, 5000) for i in range(6)]
