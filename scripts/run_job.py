@@ -19,10 +19,12 @@ Methods (determineMethod, Main.hs:75-85 + north-rule additions):
   pagerankS   synchronous Jacobi (PageRankStep.hs) — join or spmv strategy
   pagerank    alias of pagerankS here (async Gauss-Seidel is not
               BSP-expressible; documented in SURVEY.md §2.5)
+  pagerankPP  color-scheduled Gauss-Seidel (PageRankWithPreprocessing.hs)
+              — per-color sub-supersteps over a greedy coloring
   prism       incremental activation-set PageRank (Prism.hs family)
   coloringGreedy / jonesPlassman / coloring2Dist / coloringNonDet
-  cc          connected components
-  lp          label propagation
+  cc          connected components (auto-tiered; join path if checkpointing)
+  lp          label propagation (auto-tiered; join path if checkpointing)
   triangles   triangle count
 """
 
@@ -91,8 +93,17 @@ def main() -> None:
     t0 = time.monotonic()
     m = args.method
     iters = 0
-    if m in ("pagerankS", "pagerank", "pagerankND", "pagerankVC",
-             "pagerankEC", "pagerankPP"):
+    if m == "pagerankPP":
+        from haskellpagerank_spark.operators.pagerank_pp import (
+            run_pagerank_pp)
+        if cfg.sink_mode == "redistribute":
+            raise SystemExit("pagerankPP implements the reference's "
+                             "amended-graph semantics (reflect/none)")
+        res = run_pagerank_pp(g, cfg)
+        out, iters = res.ranks, res.iterations
+        summary = {"rank_sum": out.agg({"rank": "sum"}).first()[0]}
+    elif m in ("pagerankS", "pagerank", "pagerankND", "pagerankVC",
+               "pagerankEC"):
         if args.strategy == "join":
             res = run_pagerank(g, cfg)
         elif args.strategy == "spmv":
@@ -126,16 +137,21 @@ def main() -> None:
                    "conflicts": C.validate_coloring(g, out)}
     elif m == "cc":
         from haskellpagerank_spark.operators.components import (
-            connected_components)
-        res = connected_components(g, checkpoint_dir=args.checkpoint_dir)
+            connected_components, connected_components_auto)
+        # checkpointing lives on the DataFrame frontier path; otherwise
+        # let the scale-tiered dispatch pick the physical strategy
+        res = (connected_components(g, checkpoint_dir=args.checkpoint_dir)
+               if args.checkpoint_dir else connected_components_auto(g))
         out, iters = res.df, res.iterations
         summary = {"n_components":
                    out.select("component").distinct().count()}
     elif m == "lp":
         from haskellpagerank_spark.operators.components import (
-            label_propagation)
-        res = label_propagation(g, num_iters=args.num_iters or 5,
-                                checkpoint_dir=args.checkpoint_dir)
+            label_propagation, label_propagation_auto)
+        res = (label_propagation(g, num_iters=args.num_iters or 5,
+                                 checkpoint_dir=args.checkpoint_dir)
+               if args.checkpoint_dir
+               else label_propagation_auto(g, num_iters=args.num_iters or 5))
         out, iters = res.df, res.iterations
         summary = {"n_labels": out.select("label").distinct().count()}
     elif m == "triangles":

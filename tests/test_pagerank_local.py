@@ -67,3 +67,24 @@ def test_local_checkpoint_resume(spark, tmp_path):
         damping=0.85, num_iters=6, sink_mode="redistribute"))
     np.testing.assert_allclose(_ranks(resumed, g.num_vertices),
                                _ranks(straight, g.num_vertices), atol=0)
+
+
+@pytest.mark.parametrize("runner", [run_pagerank_local, run_pagerank_spmv,
+                                    run_pagerank])
+def test_resume_at_converged_snapshot_returns_state(spark, tmp_path, runner):
+    """Resuming a CONVERGED snapshot whose iteration already equals
+    max_iters must run one verification sweep and return the state — not
+    skip the loop and raise 'did not converge'."""
+    g = from_pairs(spark, FIXTURE_EDGES["doubleSquare"])
+    ck = str(tmp_path / f"ck_{runner.__name__}")
+    base = dict(damping=0.85, tol=1e-8, tol_norm="l1",
+                sink_mode="redistribute", checkpoint_dir=ck,
+                checkpoint_interval=1)
+    first = runner(g, PageRankConfig(num_iters=0, max_iters=100, **base))
+    # resume with max_iters == the converged iteration count
+    second = runner(g, PageRankConfig(
+        num_iters=0, max_iters=first.iterations, **base))
+    # the verification sweep advances one iterate past the snapshot; both
+    # states sit within tol of the fixpoint
+    np.testing.assert_allclose(_ranks(second, g.num_vertices),
+                               _ranks(first, g.num_vertices), atol=1e-7)
