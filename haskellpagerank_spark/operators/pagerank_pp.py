@@ -41,7 +41,7 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.checkpoint import IterationMetrics
+from ..plans.checkpoint import CheckpointManager, IterationMetrics
 from .coloring import greedy_coloring
 from .graph import Graph, amend_sinks, out_degrees
 from .pagerank import PageRankConfig, PageRankResult, weighted_edges
@@ -77,7 +77,12 @@ def run_pagerank_pp(g: Graph, cfg: PageRankConfig | None = None,
                   colors.select("color").distinct().orderBy("color").collect()]
 
     # weighted edges tagged with the DESTINATION's color — one join at
-    # build time; every sub-superstep then filters on a plain column
+    # build time — then SPLIT into one persisted table per color class: a
+    # sub-superstep scans only its own color's in-edges, so a full sweep
+    # reads |E| rows total. (A single cached table with a `.where(dcolor=c)`
+    # filter would re-scan all cached partitions once per color —
+    # C x |E| per sweep, the difference between fine and fatal at C ~ 50
+    # on a 100 TB edge set.)
     ewc = (
         weighted_edges(work)
         .join(colors.select(F.col("id").alias("dst"),
@@ -86,6 +91,11 @@ def run_pagerank_pp(g: Graph, cfg: PageRankConfig | None = None,
         .persist()
     )
     n_edges = ewc.count()
+    ew_by_color = {
+        c: ewc.where(F.col("dcolor") == c)
+        .select("src", "dst", "w").persist()
+        for c in color_list
+    }
 
     base = (
         out_degrees(work)
@@ -105,16 +115,32 @@ def run_pagerank_pp(g: Graph, cfg: PageRankConfig | None = None,
         .otherwise(F.lit(0.0)).alias("rank"),
     ).localCheckpoint(eager=True)
 
+    # resumable: snapshots carry (id, rank); color/has_out are rebuilt from
+    # the (deterministic) coloring + degree tables on resume
+    ckpt = CheckpointManager(cfg.checkpoint_dir, cfg.checkpoint_interval)
+    start_sweep = 0
+    resumed = ckpt.resume(spark) if cfg.checkpoint_dir else None
+    if resumed is not None:
+        ranks = (
+            base.join(resumed[0].select("id", "rank"), "id")
+            .select("id", "color", "has_out", "rank")
+            .repartition(shuffle_p, "id")
+            .localCheckpoint(eager=True)
+        )
+        start_sweep = resumed[1]
+
     metrics: list[IterationMetrics] = []
     total_sweeps = cfg.num_iters if cfg.num_iters > 0 else cfg.max_iters
-    it = 0
+    if cfg.num_iters == 0 and start_sweep >= total_sweeps:
+        total_sweeps = start_sweep + 1  # one verification sweep, not a raise
+    it = start_sweep
     while it < total_sweeps:
         it += 1
         t0 = time.monotonic()
         sweep_start = ranks
         for c in color_list:
             msgs = (
-                ewc.where(F.col("dcolor") == c)
+                ew_by_color[c]
                 .join(ranks.select(F.col("id").alias("src"), "rank"), "src")
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.sum(F.col("w") * F.col("rank")).alias("msg"))
@@ -141,28 +167,28 @@ def run_pagerank_pp(g: Graph, cfg: PageRankConfig | None = None,
             .first()
         )
         l1, linf = float(res["l1"] or 0.0), float(res["linf"] or 0.0)
-        metrics.append(IterationMetrics(
+        m = IterationMetrics(
             iteration=it, l1_residual=l1, linf_residual=linf,
             rows_shuffled=n_edges + len(color_list) * n,
             wall_s=time.monotonic() - t0,
             extra={"strategy": "gauss_seidel_pp",
                    "colors": len(color_list)},
-        ))
+        )
+        metrics.append(m)
+        ckpt.write(ranks.select("id", "rank"), m)
         converged = (linf if cfg.tol_norm == "linf" else l1) <= cfg.tol
         if cfg.num_iters == 0 and converged:
             break
     else:
         if cfg.num_iters == 0:
-            ewc.unpersist()
-            base.unpersist()
-            colors.unpersist()
+            for df in (ewc, base, colors, *ew_by_color.values()):
+                df.unpersist()
             raise RuntimeError(
                 f"pagerank_pp did not converge within max_iters="
                 f"{cfg.max_iters}")
 
-    ewc.unpersist()
-    base.unpersist()
-    colors.unpersist()
+    for df in (ewc, base, colors, *ew_by_color.values()):
+        df.unpersist()
     # single buffer: the state AFTER the converging sweep (the reference's
     # GS loop has no previous-iterate quirk)
     return PageRankResult(ranks=ranks.select("id", "rank"),

@@ -31,11 +31,9 @@ runs on amended graphs; isolated vertices stay pinned at 0, PageRank.hs:35).
 from __future__ import annotations
 
 import time
-from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.checkpoint import CheckpointManager, IterationMetrics
-from .components import IterativeResult
 from .graph import Graph, amend_sinks, out_degrees
 from .pagerank import PageRankConfig, PageRankResult, weighted_edges
 

@@ -27,9 +27,7 @@ from .operators.components import connected_components, label_propagation
 from .operators.graph import Graph, from_edge_df, invert, out_degrees, sinks
 from .operators.pagerank import PageRankConfig, run_pagerank
 from .operators.triangles import triangle_count
-from .sources.tpch_graph import (
-    CS_EDGES_SQL, cs_graph, num_customers,
-)
+from .sources.tpch_graph import CS_EDGES_SQL, cs_graph
 from . import sql_twins as SQ
 
 DAMPING = 0.85

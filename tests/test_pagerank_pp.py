@@ -89,6 +89,21 @@ def test_pp_converges_in_fewer_sweeps_than_jacobi(spark):
     assert pp.iterations < jac.iterations
 
 
+def test_pp_checkpoint_resume(spark, tmp_path):
+    g = G.from_pairs(spark, fixtures.FIXTURE_EDGES["doubleSquare"])
+    ck = str(tmp_path / "ck")
+    base = dict(damping=0.15, sink_mode="reflect", init_value=1.0,
+                checkpoint_dir=ck, checkpoint_interval=1)
+    run_pagerank_pp(g, PageRankConfig(num_iters=2, **base))
+    resumed = run_pagerank_pp(g, PageRankConfig(num_iters=5, **base))
+    straight = run_pagerank_pp(g, PageRankConfig(
+        damping=0.15, num_iters=5, sink_mode="reflect", init_value=1.0))
+    n = g.num_vertices
+    np.testing.assert_allclose(rank_vector(resumed, n),
+                               rank_vector(straight, n), atol=1e-14)
+    assert resumed.iterations == 5
+
+
 def test_pp_rejects_redistribute_mode(spark):
     g = G.from_pairs(spark, fixtures.FIXTURE_EDGES["square"])
     with pytest.raises(ValueError):
