@@ -40,7 +40,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..plans.checkpoint import IterationMetrics
@@ -69,11 +69,18 @@ def _fixed_point_coloring(
     g: Graph,
     pred_edges: DataFrame,
     max_iters: int = 10_000,
+    palette: int | None = None,
 ) -> IterativeResult:
     """Shared engine: ``pred_edges(src, dst)`` lists for each vertex ``src``
     its *predecessors* ``dst`` (the neighbors that must be colored first and
     whose colors feed the mex). Each round colors every uncolored vertex
     whose predecessors are all colored. Unique fixed point -> deterministic.
+
+    ``palette``: cap the usable colors to 1..palette (bounded-palette
+    ``graphColoring``, GraphColoring.hs:319-336). A vertex whose lower
+    neighbors exhaust the palette can never be colored; the precedence DAG
+    is acyclic, so an unbounded run always makes progress each round —
+    a round with no progress therefore IS palette exhaustion, and raises.
     """
     spark = g.spark
     shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -106,18 +113,33 @@ def _fixed_point_coloring(
             )
         )
         joined = colors.join(pred_state, "id", "left")
+        if palette is None:
+            fresh = mex_expr(F.col("pcolors"))
+        else:
+            # bounded mex: smallest color in 1..palette absent from the
+            # predecessor colors; NULL (stays uncolored) when exhausted
+            fresh = F.array_min(F.array_except(
+                F.sequence(F.lit(1), F.lit(int(palette))),
+                F.coalesce(F.col("pcolors"), F.array()),
+            ))
         new_colors = joined.select(
             "id",
             F.when(F.col("color").isNotNull(), F.col("color"))
             .when(
                 F.coalesce("n_colored", F.lit(0))
                 == F.coalesce("n_pred", F.lit(0)),
-                mex_expr(F.col("pcolors")),
+                fresh,
             )
             .otherwise(F.lit(None))
             .alias("color"),
         ).localCheckpoint(eager=False)
+        prev_remaining = remaining
         remaining = new_colors.where(F.col("color").isNull()).count()
+        if palette is not None and remaining == prev_remaining:
+            pe.unpersist()
+            raise RuntimeError(
+                f"palette of {palette} colors exhausted with "
+                f"{remaining} vertices uncolored (round {it})")
         metrics.append(IterationMetrics(
             iteration=it, l1_residual=float(remaining),
             linf_residual=float(1 if remaining else 0),
@@ -137,6 +159,51 @@ def greedy_coloring(g: Graph) -> IterativeResult:
     are harmless to mex, but we dedup to shrink the join."""
     preds = _both_dir_edges(g, dedup=True).where(F.col("dst") < F.col("src"))
     return _fixed_point_coloring(g, preds)
+
+
+def bounded_coloring(g: Graph, num_colors: int) -> IterativeResult:
+    """Bounded-palette greedy coloring — the reference's ``graphColoring``
+    (GraphColoring.hs:319-336, dead code there: no CLI path). Identical to
+    ``greedy_coloring`` except the mex is restricted to 1..num_colors; the
+    reference crashes (``head []``) when a vertex's lower-id neighbors use
+    the whole palette, we raise RuntimeError. With num_colors >= max degree
+    + 1 the bound can never bind, so the output equals greedy exactly."""
+    if num_colors < 1:
+        raise ValueError("num_colors must be >= 1")
+    preds = _both_dir_edges(g, dedup=True).where(F.col("dst") < F.col("src"))
+    return _fixed_point_coloring(g, preds, palette=num_colors)
+
+
+def color_layout_1d(colors: DataFrame) -> DataFrame:
+    """Flat color-bucket layout — the reference's ``getGraphColoring1D'``
+    (GraphColoring.hs:101-130, dead code there): vertices permuted so each
+    color's bucket is one contiguous run, plus per-color (start, length)
+    offsets into that permutation. The reference's intra-bucket order is
+    unspecified (unstable introsort over (id, color)); we fix it to
+    ascending id for determinism.
+
+    One row per vertex: (id, color, pos, start, length) — ``pos`` is the
+    vertex's slot in the permutation, (start, length) its color's run.
+    Scale shape: NO global sort/window — per-color sizes (|colors| rows)
+    are cumulative-summed on the driver and broadcast back; ``pos`` is then
+    start + rank-within-color, a window partitioned BY COLOR (each color's
+    rank is computed where its rows already live after the hash shuffle)."""
+    spark = colors.sparkSession
+    sizes = (colors.groupBy("color").agg(F.count(F.lit(1)).alias("length"))
+             .orderBy("color").collect())
+    starts, acc = [], 0
+    for r in sizes:
+        starts.append((r["color"], acc, r["length"]))
+        acc += r["length"]
+    offsets = spark.createDataFrame(
+        starts, schema="color int, start long, length long")
+    w = Window.partitionBy("color").orderBy("id")
+    return (
+        colors.withColumn("rk", F.row_number().over(w) - 1)
+        .join(F.broadcast(offsets), "color")
+        .select("id", "color", (F.col("start") + F.col("rk")).alias("pos"),
+                "start", "length")
+    )
 
 
 def jones_plassmann(

@@ -157,3 +157,15 @@ def degree_histogram(g: Graph) -> DataFrame:
     return out_degrees(g).groupBy("deg").agg(
         F.count(F.lit(1)).alias("n_vertices")
     )
+
+
+def src_frequencies(edges: DataFrame) -> DataFrame:
+    """(src, n) — occurrence count per *present* source, ascending src.
+
+    The reference's ``frequency`` (EdgeArray.hs:66-67, dead code there:
+    ``map length . group . sort . map fst``) — unlike ``out_degrees`` it
+    emits no zero rows for absent vertices and keys the counts by the
+    sorted distinct sources. One hash aggregation; the sort is the
+    caller's ORDER BY (kept out of the operator so Catalyst can drop it
+    when the consumer doesn't need order)."""
+    return edges.groupBy("src").agg(F.count(F.lit(1)).alias("n"))

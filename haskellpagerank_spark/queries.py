@@ -368,6 +368,26 @@ def _q_coloring_greedy_nation(spark, sf_dir):
     return C.greedy_coloring(nation_trade_graph(spark, sf_dir)).df
 
 
+def _q_coloring_bounded_nation(spark, sf_dir):
+    """Bounded-palette greedy (graphColoring, GraphColoring.hs:319-336)
+    with palette |V| — never binds, so the fixed point equals greedy; the
+    oracle twin carries the same bounded mex."""
+    g = nation_trade_graph(spark, sf_dir)
+    return C.bounded_coloring(g, num_colors=g.num_vertices).df
+
+
+def _q_coloring_layout_nation(spark, sf_dir):
+    """getGraphColoring1D' flat bucket layout over the greedy coloring."""
+    g = nation_trade_graph(spark, sf_dir)
+    return C.color_layout_1d(C.greedy_coloring(g).df)
+
+
+def _q_src_frequency_nation(spark, sf_dir):
+    """frequency (EdgeArray.hs:66-67): per-present-source counts."""
+    from .operators.graph import src_frequencies
+    return src_frequencies(nation_trade_graph(spark, sf_dir).edges)
+
+
 def _q_coloring_jp_nation(spark, sf_dir):
     """JP with explicit LCG priorities (sql_twins.JP_PRIORITY_SQL) instead
     of the xxhash64 default — same fixed point machinery, but the priority
@@ -681,6 +701,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lp_auto_cs_3": _q_lp_auto_cs_3,
     "coloring_d2_nation": _q_coloring_d2_nation,
     "coloring_speculative_nation": _q_coloring_speculative_nation,
+    "coloring_bounded_nation": _q_coloring_bounded_nation,
+    "coloring_layout_nation": _q_coloring_layout_nation,
+    "src_frequency_nation": _q_src_frequency_nation,
     "multimodal_metadata": _q_multimodal_metadata,
     "multimodal_features": _q_multimodal_features,
     "frame_sample_plan": _q_frame_sample_plan,
@@ -894,6 +917,14 @@ ORACLES: dict[str, str] = {
         NATION_EDGES_SQL, NATION_VERTS_SQL, rounds=26),
     "coloring_speculative_nation": SQ.speculative_coloring_sql(
         NATION_EDGES_SQL, NATION_VERTS_SQL, rounds=26),
+    "coloring_bounded_nation": SQ.bounded_coloring_sql(
+        NATION_EDGES_SQL, NATION_VERTS_SQL, rounds=26, palette=25),
+    "coloring_layout_nation": SQ.color_layout_1d_sql(
+        NATION_EDGES_SQL, NATION_VERTS_SQL, rounds=26),
+    "src_frequency_nation": f"""
+        SELECT src, COUNT(*) AS n FROM ({NATION_EDGES_SQL})
+        WHERE src <> dst GROUP BY 1
+    """,
     "pagerank_pp_nation": SQ.pagerank_pp_sql(
         NATION_EDGES_SQL, NATION_VERTS_SQL, sweeps=3, max_colors=25,
         coloring_rounds=26),

@@ -49,6 +49,14 @@ def _mex(expr: str) -> str:
             f"x -> NOT list_contains({lst}, x))), 1)")
 
 
+def _mex_bounded(expr: str, palette: int) -> str:
+    """Bounded mex: smallest color in 1..palette absent from ``expr``;
+    NULL when the palette is exhausted (operators.coloring bounded mode)."""
+    lst = f"COALESCE({expr}, [])"
+    return (f"list_min(list_filter(range(1, {palette} + 1), "
+            f"x -> NOT list_contains({lst}, x)))")
+
+
 def _und_ctes(edges_sql: str, verts_sql: str) -> list[str]:
     return [
         f"verts AS MATERIALIZED ({verts_sql})",
@@ -59,13 +67,15 @@ def _und_ctes(edges_sql: str, verts_sql: str) -> list[str]:
     ]
 
 
-def _fixed_point_rounds(rounds: int) -> list[str]:
+def _fixed_point_rounds(rounds: int, palette: int | None = None) -> list[str]:
     """The shared coloring fixed point over a predecessor table ``pe(src,
     dst)`` (dst = predecessor of src): each round colors every uncolored
     vertex whose predecessors are all colored, with the mex of their
     colors — mirrors operators.coloring._fixed_point_coloring exactly."""
     ctes = ["c0 AS MATERIALIZED (SELECT id, CAST(NULL AS INTEGER) AS color "
             "FROM verts)"]
+    mex = (_mex("ps.pcolors") if palette is None
+           else _mex_bounded("ps.pcolors", palette))
     for i in range(1, rounds + 1):
         p = i - 1
         ctes.append(
@@ -78,7 +88,7 @@ def _fixed_point_rounds(rounds: int) -> list[str]:
             f"c{i} AS MATERIALIZED (SELECT v.id, "
             "CASE WHEN c.color IS NOT NULL THEN c.color "
             "WHEN COALESCE(ps.n_colored, 0) = COALESCE(ps.n_pred, 0) "
-            f"THEN {_mex('ps.pcolors')} ELSE NULL END AS color "
+            f"THEN {mex} ELSE NULL END AS color "
             f"FROM verts v LEFT JOIN c{p} c ON v.id = c.id "
             f"LEFT JOIN ps{i} ps ON v.id = ps.id)"
         )
@@ -94,6 +104,33 @@ def greedy_coloring_sql(edges_sql: str, verts_sql: str, rounds: int) -> str:
                 "WHERE dst < src)")
     ctes += _fixed_point_rounds(rounds)
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, color FROM c{rounds}"
+
+
+def bounded_coloring_sql(edges_sql: str, verts_sql: str, rounds: int,
+                         palette: int) -> str:
+    """graphColoring bounded-palette fixed point (GraphColoring.hs:319-336):
+    greedy predecessors, mex restricted to 1..palette."""
+    ctes = _und_ctes(edges_sql, verts_sql)
+    ctes.append("pe AS MATERIALIZED (SELECT src, dst FROM und "
+                "WHERE dst < src)")
+    ctes += _fixed_point_rounds(rounds, palette=palette)
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, color FROM c{rounds}"
+
+
+def color_layout_1d_sql(edges_sql: str, verts_sql: str, rounds: int) -> str:
+    """getGraphColoring1D' layout over the greedy coloring: pos = rank in
+    (color, id) order; (start, length) = the color's contiguous run."""
+    greedy = greedy_coloring_sql(edges_sql, verts_sql, rounds)
+    return f"""
+WITH gc AS MATERIALIZED ({greedy}),
+p AS (SELECT id, color,
+             ROW_NUMBER() OVER (ORDER BY color, id) - 1 AS pos
+      FROM gc)
+SELECT id, color, pos,
+       MIN(pos) OVER (PARTITION BY color) AS start,
+       COUNT(*) OVER (PARTITION BY color) AS length
+FROM p
+"""
 
 
 def jp_coloring_sql(edges_sql: str, verts_sql: str, rounds: int) -> str:

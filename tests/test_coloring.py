@@ -87,3 +87,52 @@ def test_jp_valid_on_cs_graph(spark):
     from pyspark.sql import functions as F
     assert res.df.where(F.col("color") < 1).count() == 0
     assert res.df.count() == g.num_vertices
+
+
+@pytest.mark.parametrize("name,want", sorted(GREEDY_COLORING_GOLDEN.items()))
+def test_bounded_equals_greedy_at_tight_palette(spark, name, want):
+    """graphColoring (bounded palette, GraphColoring.hs:319-336) with
+    palette == chromatic number of the greedy run reproduces greedy
+    exactly — the bound is tight but never binds."""
+    from haskellpagerank_spark.operators.coloring import bounded_coloring
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    res = bounded_coloring(g, num_colors=max(want))
+    assert _vector(res.df, g.num_vertices) == want
+
+
+@pytest.mark.parametrize("name,palette", [("complete", 4), ("square", 1)])
+def test_bounded_palette_exhaustion_raises(spark, name, palette):
+    from haskellpagerank_spark.operators.coloring import bounded_coloring
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    with pytest.raises(RuntimeError, match="palette"):
+        bounded_coloring(g, num_colors=palette)
+
+
+def test_color_layout_1d_double_square(spark):
+    """getGraphColoring1D' layout on doubleSquare: greedy colors
+    [1,2,2,1,2,1,1,2] -> bucket 1 = ids {0,3,5,6} at pos 0..3, bucket 2 =
+    ids {1,2,4,7} at pos 4..7 (ascending id inside a bucket)."""
+    from haskellpagerank_spark.operators.coloring import color_layout_1d
+    g = from_pairs(spark, FIXTURE_EDGES["doubleSquare"])
+    out = color_layout_1d(greedy_coloring(g).df)
+    rows = {r["id"]: (r["color"], r["pos"], r["start"], r["length"])
+            for r in out.collect()}
+    assert rows == {
+        0: (1, 0, 0, 4), 3: (1, 1, 0, 4), 5: (1, 2, 0, 4), 6: (1, 3, 0, 4),
+        1: (2, 4, 4, 4), 2: (2, 5, 4, 4), 4: (2, 6, 4, 4), 7: (2, 7, 4, 4),
+    }
+
+
+def test_color_layout_1d_is_contiguous_permutation(spark):
+    from haskellpagerank_spark.operators.coloring import color_layout_1d
+    g = from_pairs(spark, FIXTURE_EDGES["myFavorite"])
+    out = color_layout_1d(greedy_coloring(g).df).collect()
+    assert sorted(r["pos"] for r in out) == list(range(g.num_vertices))
+    by_color = {}
+    for r in out:
+        by_color.setdefault(r["color"], []).append(r)
+    for c, rs in by_color.items():
+        poss = sorted(r["pos"] for r in rs)
+        start, length = rs[0]["start"], rs[0]["length"]
+        assert poss == list(range(start, start + length))
+        assert len(rs) == length

@@ -113,3 +113,19 @@ def test_oracle_pagerank_sums_to_one():
         pr = oracle.pagerank_jacobi(asrc, adst, n, damping=0.15, eps=1e-4,
                                     init=1.0)
         assert 0.99 <= float(np.sum(pr)) <= 1.01, name
+
+
+def test_src_frequencies_square(spark):
+    """frequency (EdgeArray.hs:66-67): per-source occurrence counts; the
+    reference's output is the count list in ascending-src order."""
+    g = fixture_graph(spark, "square")
+    rows = G.src_frequencies(g.edges).orderBy("src").collect()
+    assert [(r["src"], r["n"]) for r in rows] == [(0, 2), (1, 1), (2, 1)]
+    assert [r["n"] for r in rows] == [2, 1, 1]  # the Haskell [Int] view
+
+
+def test_src_frequencies_counts_duplicates(spark):
+    df = spark.createDataFrame(
+        [(4, 5), (4, 5), (4, 6), (7, 4)], schema="src LONG, dst LONG")
+    rows = G.src_frequencies(df).orderBy("src").collect()
+    assert [(r["src"], r["n"]) for r in rows] == [(4, 3), (7, 1)]
