@@ -648,6 +648,30 @@ def _q_benchparse_normalize(spark, sf_dir):
         F.round("normalized", 6).alias("normalized"))
 
 
+def _q_catalog_events_snapshot(spark, sf_dir):
+    """Iceberg-seam fidelity gate (sources/catalog.py): commit the events
+    table into a versioned catalog table as two append snapshots
+    (hive-partitioned by event_type), resolve the CURRENT snapshot through
+    the manifest, and aggregate what comes back. The DuckDB twin aggregates
+    the raw parquet directly — any file the commit or manifest-driven read
+    loses, duplicates, or corrupts breaks the hash."""
+    import shutil
+    from .sources.catalog import Table
+    root = f"{SQ.HANDOFF_DIR}/catalog_events"
+    shutil.rmtree(root, ignore_errors=True)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = Table(root)
+    t.commit(ev.where(F.col("event_id") % 2 == 0),
+             partition_by=["event_type"])
+    t.commit(ev.where(F.col("event_id") % 2 == 1),
+             partition_by=["event_type"])
+    return t.read(spark).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"))
+
+
 def _q_events_hourly_windows(spark, sf_dir):
     """Tumbling-window per-type aggregate (streaming.ingest's windowed agg
     shape, run in batch mode for the oracle comparison)."""
@@ -709,6 +733,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frame_sample_plan": _q_frame_sample_plan,
     "benchparse_normalize": _q_benchparse_normalize,
     "events_hourly_windows": _q_events_hourly_windows,
+    "catalog_events_snapshot": _q_catalog_events_snapshot,
 }
 
 
@@ -991,6 +1016,12 @@ ORACLES: dict[str, str] = {
                ROUND(CASE WHEN nrm = 0 THEN 0.0 ELSE mean / nrm END, 6)
                    AS normalized
         FROM s
+    """,
+    "catalog_events_snapshot": """
+        SELECT event_type, COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS total_value,
+               MIN(event_id) AS min_event, MAX(event_id) AS max_event
+        FROM events GROUP BY 1
     """,
     "events_hourly_windows": """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

@@ -1,0 +1,308 @@
+"""Iceberg-style versioned table seam over parquet.
+
+The north-star input is "an Iceberg table of Common-Crawl-style web pages"
+(BASELINE.json input_hint). This sandbox has no Iceberg runtime jar
+(SURVEY.md §7), so this module provides the same *table contract* —
+snapshot isolation, atomic commits, time travel, and manifest-driven file
+pruning — over plain parquet, behind a seam a production deployment swaps
+for real Iceberg (`spark.read.format("iceberg")`) without touching any
+operator code: everything downstream consumes a plain DataFrame.
+
+Layout (Iceberg-shaped, json manifests instead of avro):
+
+    root/
+      metadata/
+        v<N>.metadata.json   one manifest per snapshot: operation,
+                             parent, partition spec, data files with
+                             per-file row counts + per-column min/max
+                             (harvested from parquet footers, no data read)
+        version-hint.text    current snapshot pointer; commits swap it by
+                             atomic os.replace, readers never see a torn
+                             table
+      data/<commit-uuid>/    immutable data files (hive-partitioned when
+                             partition_by is set); overwrites only ever
+                             *stop referencing* files, never delete them,
+                             so time travel stays valid
+
+Scale notes (explicit):
+- The manifest lists every live data file. At 100 TB / ~1e5 files the json
+  is a few MB — fine for a driver; real Iceberg's avro manifest-list tree
+  is the production answer and slots in behind the same seam.
+- ``scan`` prunes at three levels before Spark ever plans: snapshot
+  (time travel), partition values (parsed from hive paths), and per-file
+  column min/max ranges — the same pruning order Iceberg applies. The
+  surviving file list goes to ``spark.read.parquet(*files)`` WITH the
+  predicate re-applied, so Catalyst still does row-group and row level
+  filtering inside each file.
+- Commits are optimistic: a commit built against snapshot N fails with
+  ``CommitConflict`` if the table has moved past N, mirroring Iceberg's
+  retry contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Any
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+_VERSION_HINT = "version-hint.text"
+
+
+class CommitConflict(RuntimeError):
+    """Another commit landed first; re-read and retry (Iceberg semantics)."""
+
+
+@dataclass(frozen=True)
+class FileEntry:
+    path: str                      # relative to table root
+    rows: int
+    partition: dict[str, str]      # hive partition values (may be empty)
+    stats: dict[str, dict]         # col -> {"min": .., "max": ..} (best effort)
+
+    def to_json(self) -> dict:
+        return {"path": self.path, "rows": self.rows,
+                "partition": self.partition, "stats": self.stats}
+
+    @staticmethod
+    def from_json(d: dict) -> "FileEntry":
+        return FileEntry(d["path"], d["rows"], d["partition"], d["stats"])
+
+
+def _jsonable(v: Any) -> Any:
+    """Parquet footer stats -> json-safe scalar (bytes decoded, else str)."""
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (int, float, str, bool)) or v is None:
+        return v
+    return str(v)
+
+
+def _footer_stats(abs_path: str) -> tuple[int, dict[str, dict]]:
+    """(rows, per-column {min, max}) from the parquet footer only."""
+    f = pq.ParquetFile(abs_path)
+    rows = f.metadata.num_rows
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    ok: set[str] = set()
+    for rg in range(f.metadata.num_row_groups):
+        g = f.metadata.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                ok.discard(name)
+                continue
+            if rg == 0:
+                ok.add(name)
+            if name in ok:
+                mins[name] = st.min if name not in mins else min(
+                    mins[name], st.min)
+                maxs[name] = st.max if name not in maxs else max(
+                    maxs[name], st.max)
+    stats = {}
+    for name in ok:
+        lo, hi = _jsonable(mins.get(name)), _jsonable(maxs.get(name))
+        if lo is not None and hi is not None:
+            stats[name] = {"min": lo, "max": hi}
+    return rows, stats
+
+
+def _partition_values(rel_path: str) -> dict[str, str]:
+    """Hive path segments ``k=v`` -> partition dict (values url-decoded the
+    way Spark writes them is not needed for our deterministic columns)."""
+    out = {}
+    for seg in rel_path.split("/"):
+        if "=" in seg and not seg.endswith(".parquet"):
+            k, _, v = seg.partition("=")
+            out[k] = v
+    return out
+
+
+class Table:
+    """One versioned table rooted at ``root`` (local or any fuse-posix path).
+
+    Thread-model: single writer per commit attempt, optimistic conflict
+    detection across writers; readers are lock-free (they resolve the
+    version pointer once and then touch only immutable files).
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        self.meta_dir = os.path.join(root, "metadata")
+
+    # ------------------------------------------------------------ versions
+
+    def current_version(self) -> int:
+        """0 = empty table (no committed snapshot yet)."""
+        try:
+            with open(os.path.join(self.meta_dir, _VERSION_HINT)) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def snapshots(self) -> list[int]:
+        return list(range(1, self.current_version() + 1))
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        if v < 1:
+            raise ValueError("table has no committed snapshot")
+        with open(os.path.join(self.meta_dir, f"v{v}.metadata.json")) as fh:
+            return json.load(fh)
+
+    def files(self, version: int | None = None) -> list[FileEntry]:
+        return [FileEntry.from_json(d) for d in self.manifest(version)["files"]]
+
+    # ------------------------------------------------------------- commits
+
+    def commit(self, df: DataFrame, mode: str = "append",
+               partition_by: list[str] | None = None) -> int:
+        """Write ``df`` as a new snapshot; returns the snapshot id.
+
+        ``append`` keeps the parent snapshot's files; ``overwrite`` starts
+        the file list fresh (old files stay on disk for time travel).
+        The data write happens BEFORE the metadata swap — a crash mid-commit
+        leaves an orphan data dir and an unchanged table, never corruption.
+        """
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unknown commit mode {mode!r}")
+        base = self.current_version()
+        commit_id = uuid.uuid4().hex[:12]
+        rel_dir = os.path.join("data", commit_id)
+        out_dir = os.path.join(self.root, rel_dir)
+        writer = df.write.mode("error")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(out_dir)
+
+        new_files: list[FileEntry] = []
+        for dirpath, _dirs, names in sorted(os.walk(out_dir)):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                abs_path = os.path.join(dirpath, name)
+                rel = os.path.relpath(abs_path, self.root)
+                rows, stats = _footer_stats(abs_path)
+                new_files.append(FileEntry(
+                    rel, rows, _partition_values(rel), stats))
+
+        prev = self.files(base) if (mode == "append" and base >= 1) else []
+        manifest = {
+            "format": "hpr-table/1",
+            "snapshot_id": base + 1,
+            "parent_id": base or None,
+            "operation": mode,
+            "partition_by": partition_by or [],
+            "schema": df.schema.json(),
+            "files": [f.to_json() for f in prev + new_files],
+        }
+        os.makedirs(self.meta_dir, exist_ok=True)
+        meta_path = os.path.join(self.meta_dir, f"v{base + 1}.metadata.json")
+        tmp = meta_path + f".tmp-{commit_id}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        # optimistic concurrency: lose the race -> conflict, caller retries
+        if self.current_version() != base or os.path.exists(meta_path):
+            os.unlink(tmp)
+            raise CommitConflict(
+                f"table moved past v{base} during commit; retry")
+        os.replace(tmp, meta_path)
+        hint_tmp = os.path.join(self.meta_dir, f".hint-{commit_id}")
+        with open(hint_tmp, "w") as fh:
+            fh.write(str(base + 1))
+        os.replace(hint_tmp, os.path.join(self.meta_dir, _VERSION_HINT))
+        return base + 1
+
+    # -------------------------------------------------------------- reads
+
+    def read(self, spark: SparkSession,
+             snapshot: int | None = None) -> DataFrame:
+        """The snapshot's rows as a DataFrame (time travel via ``snapshot``).
+
+        Reads exactly the manifest's file list — concurrent commits after
+        the manifest is resolved cannot change what this scan sees.
+        """
+        man = self.manifest(snapshot)
+        return self._read_entries(spark, self.files(snapshot), man, snapshot)
+
+    def _read_entries(self, spark: SparkSession, entries: list[FileEntry],
+                      man: dict, snapshot: int | None) -> DataFrame:
+        """Assemble a DataFrame from manifest entries. Partitioned commits
+        are read per commit directory (each with its own basePath so hive
+        partition columns resolve) and unioned — different commits need
+        not share directory structure."""
+        if not entries:
+            return spark.createDataFrame([], schema=self.schema(snapshot))
+        if not man["partition_by"]:
+            return spark.read.parquet(
+                *[os.path.join(self.root, e.path) for e in entries])
+        groups: dict[str, list[str]] = {}
+        for e in entries:
+            parts = e.path.split("/")
+            commit_dir = "/".join(parts[:2])  # data/<commit-uuid>
+            groups.setdefault(commit_dir, []).append(
+                os.path.join(self.root, e.path))
+        dfs = [
+            spark.read.option("basePath", os.path.join(self.root, cd))
+            .parquet(*paths)
+            for cd, paths in sorted(groups.items())
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def schema(self, snapshot: int | None = None):
+        from pyspark.sql.types import StructType
+        return StructType.fromJson(json.loads(self.manifest(snapshot)["schema"]))
+
+    def scan(self, spark: SparkSession, col: str, lo=None, hi=None,
+             snapshot: int | None = None) -> tuple[DataFrame, dict]:
+        """Range scan ``lo <= col <= hi`` with manifest-level file pruning.
+
+        Prunes via partition values when ``col`` is a partition column,
+        else via per-file min/max footer stats; returns (DataFrame with the
+        predicate applied row-level too, pruning report). Either bound may
+        be None (half-open range).
+        """
+        entries = self.files(snapshot)
+        man = self.manifest(snapshot)
+        keep: list[FileEntry] = []
+        for e in entries:
+            if col in e.partition:
+                # hive paths store partition values as strings; compare in
+                # the bound's type so numeric ranges don't go lexicographic
+                v: object = e.partition[col]
+                bound = lo if lo is not None else hi
+                if isinstance(bound, (int, float)):
+                    try:
+                        v = type(bound)(v)
+                    except ValueError:
+                        pass
+                if (lo is not None and v < lo) or (hi is not None and v > hi):
+                    continue
+            elif col in e.stats:
+                s = e.stats[col]
+                if lo is not None and s["max"] < lo:
+                    continue
+                if hi is not None and s["min"] > hi:
+                    continue
+            keep.append(e)
+        report = {"files_total": len(entries), "files_scanned": len(keep),
+                  "files_pruned": len(entries) - len(keep)}
+        df = self._read_entries(spark, keep, man, snapshot)
+        from pyspark.sql import functions as F
+        if lo is not None:
+            df = df.where(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col(col) <= F.lit(hi))
+        return df, report

@@ -1,0 +1,122 @@
+"""Iceberg-style table seam: snapshots, time travel, atomic commits,
+manifest pruning (sources/catalog.py) — the parquet stand-in for the
+north-star's Iceberg input (SURVEY.md §7 environment note)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from haskellpagerank_spark.sources.catalog import CommitConflict, Table
+
+
+def _events(spark, sf_dir="/root/testdata/sf0.001"):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def test_append_snapshots_and_time_travel(spark, tmp_path):
+    t = Table(str(tmp_path / "t1"))
+    ev = _events(spark)
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    assert t.current_version() == 0
+    assert t.commit(a) == 1
+    assert t.commit(b) == 2
+    assert t.snapshots() == [1, 2]
+    # current view = union of both commits
+    assert t.read(spark).count() == ev.count()
+    # time travel back to snapshot 1
+    assert t.read(spark, snapshot=1).count() == a.count()
+    got = t.read(spark, snapshot=1).agg(
+        F.sum("event_id").alias("s")).first()["s"]
+    want = a.agg(F.sum("event_id").alias("s")).first()["s"]
+    assert got == want
+
+
+def test_overwrite_keeps_old_snapshot_readable(spark, tmp_path):
+    t = Table(str(tmp_path / "t2"))
+    ev = _events(spark)
+    t.commit(ev.limit(100))
+    t.commit(ev.limit(10), mode="overwrite")
+    assert t.read(spark).count() == 10
+    assert t.read(spark, snapshot=1).count() == 100  # files never deleted
+
+
+def test_partition_pruning(spark, tmp_path):
+    t = Table(str(tmp_path / "t3"))
+    ev = _events(spark).select("event_id", "event_type", "value")
+    t.commit(ev, partition_by=["event_type"])
+    types = [r["event_type"] for r in
+             ev.select("event_type").distinct().collect()]
+    pick = sorted(types)[0]
+    df, report = t.scan(spark, "event_type", lo=pick, hi=pick)
+    assert report["files_pruned"] > 0
+    assert df.count() == ev.where(F.col("event_type") == pick).count()
+    # partition column round-trips through the hive path
+    assert set(r["event_type"] for r in
+               df.select("event_type").distinct().collect()) == {pick}
+
+
+def test_minmax_stats_pruning(spark, tmp_path):
+    """Two commits with disjoint sorted id ranges: a range scan over one
+    range must not open the other commit's files."""
+    t = Table(str(tmp_path / "t4"))
+    ev = _events(spark).select("event_id", "value")
+    lo_half = ev.where(F.col("event_id") < 500).coalesce(1)
+    hi_half = ev.where(F.col("event_id") >= 500).coalesce(1)
+    assert lo_half.count() > 0 and hi_half.count() > 0
+    t.commit(lo_half)
+    t.commit(hi_half)
+    df, report = t.scan(spark, "event_id", lo=0, hi=200)
+    assert report["files_total"] == 2
+    assert report["files_scanned"] == 1
+    assert df.count() == ev.where(F.col("event_id") <= 200).count()
+
+
+def test_commit_conflict_detected(spark, tmp_path):
+    """A commit built against a stale base must fail, not clobber."""
+    root = str(tmp_path / "t5")
+    t1, t2 = Table(root), Table(root)
+    ev = _events(spark).limit(10)
+    t1.commit(ev)
+    # t2 wins the race for v2; t1's attempt against the same base loses
+    t2.commit(ev)
+    base = 1
+
+    class Stale(Table):
+        def current_version(self):  # freeze the base the loser saw
+            return base
+    with pytest.raises(CommitConflict):
+        Stale(root).commit(ev)
+    assert t1.current_version() == 2  # table unharmed
+
+
+def test_schema_and_manifest_shape(spark, tmp_path):
+    t = Table(str(tmp_path / "t6"))
+    ev = _events(spark).select("event_id", "event_type")
+    t.commit(ev)
+    man = t.manifest()
+    assert man["operation"] == "append"
+    assert man["snapshot_id"] == 1 and man["parent_id"] is None
+    assert all(f["rows"] > 0 for f in man["files"])
+    assert t.schema().fieldNames() == ["event_id", "event_type"]
+    # per-file footer stats were harvested for the scan pruner
+    assert any("event_id" in f["stats"] for f in man["files"])
+
+
+def test_pages_through_catalog_byte_identical(spark, tmp_path):
+    """North-star shape: the pages table (url, warc_ts, html, text, lang)
+    committed through the seam and read back must preserve the per-url
+    byte-identical ``text`` invariant."""
+    from haskellpagerank_spark.sources.pages import generate_pages
+    pages = generate_pages(spark, num_pages=200, seed=7)
+    t = Table(str(tmp_path / "pages"))
+    t.commit(pages, partition_by=["lang"])
+    back = t.read(spark)
+    assert back.count() == 200
+    joined = (back.select("url", F.col("text").alias("t2"))
+              .join(pages.select("url", "text"), "url"))
+    assert joined.where(F.col("t2") != F.col("text")).count() == 0
+    assert set(back.columns) == {"url", "warc_ts", "html", "text", "lang"}
