@@ -60,7 +60,6 @@ def connected_components(
     spark = g.spark
     shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     edges = _undirected_simple(g, shuffle_p).persist()
-    n_und_edges = edges.count()
 
     labels = g.vertices().select("id", F.col("id").alias("component"))
     labels = labels.repartition(shuffle_p, "id").localCheckpoint(eager=True)
@@ -73,7 +72,92 @@ def connected_components(
         labels = resumed[0].repartition(shuffle_p, "id").localCheckpoint(eager=True)
         frontier = labels  # conservative: full resend after resume
         start_iter = resumed[1]
+    return _cc_frontier_loop(edges, labels, frontier, max_iters,
+                             start_iter, ckpt)
 
+
+def connected_components_incremental(
+    g: Graph,
+    prev_labels: DataFrame,
+    max_iters: int = 200,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+) -> IterativeResult:
+    """CC over an *updated* graph, warm-started from the previous converged
+    labels — the components analogue of prism/maintain_ranks.
+
+    Min-label propagation from any labeling converges to per-vertex
+    ``min over its component of the initial labels``; starting from the old
+    converged labels (each = min id of its old component) that minimum IS
+    the min id of the new component, so the fixpoint is exact. Edges can
+    only be *added* between runs (a crawl never deletes links from the edge
+    sink); deletions require a cold recompute.
+
+    The initial frontier is derived, not supplied: only edges whose
+    endpoints *disagree* under ``prev_labels`` can trigger any change, so
+    one |E| scan seeds the frontier with exactly those endpoints (plus
+    vertices unseen by ``prev_labels``, which start as their own id). After
+    a converged-state re-run that scan finds nothing and the loop exits in
+    one sweep without shuffling messages — the metrics' ``frontier_init``
+    extra records the seed size so tests can assert the collapse.
+    """
+    spark = g.spark
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    edges = _undirected_simple(g, shuffle_p).persist()
+
+    labels = (
+        g.vertices()
+        .join(prev_labels.select("id", F.col("component").alias("prev")),
+              "id", "left")
+        .select("id", F.coalesce("prev", F.col("id")).alias("component"))
+        .repartition(shuffle_p, "id")
+        .localCheckpoint(eager=True)
+    )
+    # disagreement scan: endpoints of edges whose labels differ. The dst
+    # side suffices as message *receivers*; the undirected edge set holds
+    # both directions, so each disagreeing endpoint appears as a dst.
+    lab_src = labels.select(F.col("id").alias("src"),
+                            F.col("component").alias("c_src"))
+    lab_dst = labels.select(F.col("id").alias("dst"),
+                            F.col("component").alias("c_dst"))
+    touched = (
+        edges.join(lab_src, "src").join(lab_dst, "dst")
+        .where(F.col("c_src") != F.col("c_dst"))
+        .select(F.col("src").alias("id"))
+        .distinct()
+    )
+    frontier = (
+        labels.join(touched, "id", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    n_frontier = frontier.count()
+    ckpt = CheckpointManager(checkpoint_dir, checkpoint_interval)
+    res = _cc_frontier_loop(edges, labels, frontier, max_iters, 0, ckpt,
+                            skip_if_empty_frontier=n_frontier == 0)
+    if res.metrics:
+        res.metrics[0].extra["frontier_init"] = n_frontier
+    return res
+
+
+def _cc_frontier_loop(
+    edges: DataFrame,
+    labels: DataFrame,
+    frontier: DataFrame,
+    max_iters: int,
+    start_iter: int,
+    ckpt: CheckpointManager,
+    skip_if_empty_frontier: bool = False,
+) -> IterativeResult:
+    """Shared semi-naive min-label loop: messages flow only from last
+    round's changed vertices; stops when nothing changed."""
+    if skip_if_empty_frontier:
+        # converged warm start: nothing can change, skip the message sweeps
+        edges.unpersist()
+        return IterativeResult(df=labels, iterations=0, metrics=[
+            IterationMetrics(iteration=0, l1_residual=0.0, linf_residual=0.0,
+                             rows_shuffled=0, wall_s=0.0,
+                             extra={"changed": 0})])
+    n_und_edges = edges.count()
     metrics: list[IterationMetrics] = []
     it = start_iter
     while it < max_iters:

@@ -88,6 +88,27 @@ def maintain_ranks(spark: SparkSession, edges_dir: str, num_vertices: int,
     return run_pagerank_auto(g, cfg, init_ranks=prev_ranks)
 
 
+def maintain_components(spark: SparkSession, edges_dir: str,
+                        num_vertices: int,
+                        prev_labels: DataFrame | None = None,
+                        max_iters: int = 200):
+    """Component maintenance over a streamed (src, dst) sink — the CC
+    analogue of ``maintain_ranks``. Cold start (no ``prev_labels``) runs
+    the auto-tiered CC; with previous converged labels it runs the
+    incremental operator, whose disagreement scan seeds the frontier with
+    only the endpoints the new batch actually disturbed (edge additions
+    only — the append sink never deletes)."""
+    from ..operators.components import (connected_components_auto,
+                                        connected_components_incremental)
+    from ..operators.graph import from_edge_df
+    g = from_edge_df(spark.read.parquet(edges_dir),
+                     num_vertices=num_vertices)
+    if prev_labels is None:
+        return connected_components_auto(g)
+    return connected_components_incremental(g, prev_labels,
+                                            max_iters=max_iters)
+
+
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                           watermark: str = "2 hours") -> DataFrame:
     """Tumbling-window per-type counts with late-data watermark over the
