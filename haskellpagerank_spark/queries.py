@@ -324,6 +324,22 @@ def _q_cc_cs(spark, sf_dir):
     return connected_components(g).df
 
 
+def _q_cc_incremental_nation(spark, sf_dir):
+    """Incremental CC through the driver gate: converge on a deterministic
+    ~2/3 edge subset, then warm-start over the full graph from those
+    labels. The fixpoint is schedule-independent, so the oracle is the
+    same recursive-CTE CC as cc_nation — hash-equality proves the warm
+    path lands on the exact full-graph components."""
+    from .operators.components import connected_components_incremental
+    from .operators.graph import from_edge_df
+    g = nation_trade_graph(spark, sf_dir)
+    base = from_edge_df(
+        g.edges.where((F.col("src") + F.col("dst")) % 3 != 0),
+        num_vertices=g.num_vertices)
+    prev = connected_components(base)
+    return connected_components_incremental(g, prev.df).df
+
+
 def _q_lp_nation_5(spark, sf_dir):
     g = nation_trade_graph(spark, sf_dir)
     return label_propagation(g, num_iters=5).df
@@ -694,6 +710,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_nation_30": _q_pagerank_nation_30,
     "cc_nation": _q_cc_nation,
     "cc_cs": _q_cc_cs,
+    "cc_incremental_nation": _q_cc_incremental_nation,
     "lp_nation_5": _q_lp_nation_5,
     "lp_cs_3": _q_lp_cs_3,
     "triangle_count_nation": _q_triangles_nation,
@@ -785,6 +802,9 @@ ORACLES: dict[str, str] = {
     "pagerank_cs_5": pagerank_sql(CS_EDGES_SQL, CS_VERTS_SQL, 5),
     "pagerank_nation_30": pagerank_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, 30),
     "cc_nation": CC_NATION_SQL,
+    # incremental CC converges to the same schedule-independent fixpoint,
+    # so its twin is the full-graph CC
+    "cc_incremental_nation": CC_NATION_SQL,
     "triangles_per_vertex_nation": f"""
         WITH e0 AS ({NATION_EDGES_SQL}),
         und AS (SELECT DISTINCT src, dst FROM
