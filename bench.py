@@ -116,6 +116,19 @@ def main() -> None:
     _consume(connected_components_spmv(g).df)
     queries["connected_components_spmv"] = round(time.monotonic() - t0, 3)
 
+    # -- steady-state component maintenance: incremental CC warm-started
+    #    from the converged labels just computed — the disagreement scan
+    #    finds an empty frontier and the run costs one |E| join instead of
+    #    a diameter's worth of supersteps (the per-crawl-batch regime)
+    from haskellpagerank_spark.operators.components import (
+        connected_components_incremental)
+    t0 = time.monotonic()
+    inc = connected_components_incremental(g, cc.df)
+    _consume(inc.df)
+    queries["connected_components_maintain"] = round(time.monotonic() - t0, 3)
+    extra["cc_maintain_frontier"] = inc.metrics[0].extra.get(
+        "frontier_init", -1)
+
     # -- label propagation, 5 sweeps (auto tier + distributed path)
     t0 = time.monotonic()
     lp = label_propagation_auto(g, num_iters=5)
