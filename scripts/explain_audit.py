@@ -177,6 +177,30 @@ def main() -> int:
         FAILURES.append("lsh_signatures: plan text > 50k chars "
                         "(literals leaked back into the plan?)")
 
+    # 8. incremental CC disagreement scan: two label joins over the
+    #    undirected edge set + a distinct — joins/aggs only, no python, no
+    #    cartesian; this single scan is the whole steady-state maintenance
+    #    cost (frontier empty -> zero supersteps)
+    labels = g.vertices().select("id", F.col("id").alias("component"))
+    und = g.edges.unionAll(
+        g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates(["src", "dst"])
+    touched = (
+        und.join(labels.select(F.col("id").alias("src"),
+                               F.col("component").alias("c_src")), "src")
+        .join(labels.select(F.col("id").alias("dst"),
+                            F.col("component").alias("c_dst")), "dst")
+        .where(F.col("c_src") != F.col("c_dst"))
+        .select(F.col("src").alias("id"))
+        .distinct()
+    )
+    audit(
+        "incremental CC disagreement scan — joins + distinct, catalyst-only",
+        touched,
+        must=["HashAggregate", "WholeStageCodegen"],
+        must_not=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+    )
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"
