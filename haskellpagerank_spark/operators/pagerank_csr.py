@@ -161,11 +161,17 @@ def _spmv_job(blocks: DataFrame, x_bc) -> tuple[np.ndarray, np.ndarray]:
 def run_pagerank_spmv(g: Graph, cfg: PageRankConfig | None = None,
                       num_blocks: int | None = None,
                       hub_threshold: int | None = None,
-                      init_ranks: DataFrame | None = None) -> PageRankResult:
+                      init_ranks: DataFrame | None = None,
+                      known_hub_ids=None) -> PageRankResult:
     """PageRank with CSR-block SpMV supersteps (same semantics/flags as
     run_pagerank; see PageRankConfig). ``hub_threshold``: in-degree above
     which a dst is salted across blocks (None -> a quarter of the per-block
-    edge budget, min 65536; 0 disables the skew probe)."""
+    edge budget, min 65536; 0 disables the skew probe).
+
+    ``known_hub_ids``: pre-known mega-hub dst ids (e.g. from the streaming
+    degree tracker, streaming/stateful.py) — skips the |E| in-degree probe
+    entirely. Salting is a physical choice only, so any id list is
+    semantically safe; results are identical either way."""
     cfg = cfg or PageRankConfig()
     spark = g.spark
     n = g.num_vertices
@@ -192,7 +198,11 @@ def run_pagerank_spmv(g: Graph, cfg: PageRankConfig | None = None,
 
     # skew probe: salt mega-hub dsts whose in-edges would swamp one block
     hub_ids = None
-    if hub_threshold != 0:
+    if known_hub_ids is not None:
+        hub_ids = np.asarray(known_hub_ids, dtype=np.int64)
+        if hub_ids.size == 0:
+            hub_ids = None
+    elif hub_threshold != 0:
         if hub_threshold is None:
             hub_threshold = max(65536, n_edges // max(num_blocks, 1) // 4)
         if n_edges > hub_threshold:  # else no dst can possibly exceed it

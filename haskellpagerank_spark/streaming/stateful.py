@@ -81,6 +81,16 @@ def running_degrees(edges: DataFrame,
     )
 
 
+def hub_ids(update_log: DataFrame) -> list[int]:
+    """Collect the flagged hub ids from an update-mode degree log — the
+    ``known_hub_ids`` input to run_pagerank_spmv, replacing its batch
+    in-degree probe with state the stream already tracked. Bounded by the
+    hub count (a handful of mega-dsts), not |V|."""
+    return sorted(
+        r.id for r in
+        latest_degrees(update_log).where("is_hub").select("id").collect())
+
+
 def latest_degrees(update_log: DataFrame) -> DataFrame:
     """Collapse an update-mode sink (one row per vertex per touched batch)
     to the latest state per vertex: degrees are monotone non-decreasing, so

@@ -53,3 +53,36 @@ def test_running_degrees_accumulates_across_batches(spark, tmp_path):
              .withColumnRenamed("count", "out_deg"))
     for r in truth.collect():
         assert state[r.id].out_deg == r.out_deg
+
+
+def test_streamed_hub_ids_feed_spmv_salting(spark, tmp_path):
+    """The tracked hub list replaces the batch skew probe: run_pagerank_spmv
+    with known_hub_ids (forcing the hub to be salted) matches the default
+    probe path exactly — salting is physical-only."""
+    import numpy as np
+
+    from haskellpagerank_spark.operators.graph import from_edge_df
+    from haskellpagerank_spark.operators.pagerank import PageRankConfig
+    from haskellpagerank_spark.operators.pagerank_csr import run_pagerank_spmv
+    from haskellpagerank_spark.streaming.stateful import hub_ids
+
+    src = tmp_path / "in2"
+    src.mkdir()
+    lines = [f"{i} 0" for i in range(1, 20)] + ["0 1", "0 2"]
+    (src / "b1.txt").write_text("\n".join(lines) + "\n")
+    log, ck = str(tmp_path / "log2"), str(tmp_path / "ck2")
+    _drain(spark, str(src), log, ck)
+    hubs = hub_ids(spark.read.parquet(log))
+    assert hubs == [0]  # in-degree 19 >= threshold 3
+
+    edges = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in (ln.split() for ln in lines)],
+        "src long, dst long")
+    g = from_edge_df(edges, num_vertices=20)
+    cfg = PageRankConfig(damping=0.85, num_iters=5, sink_mode="redistribute")
+    salted = run_pagerank_spmv(g, cfg, known_hub_ids=hubs)
+    probed = run_pagerank_spmv(g, cfg)
+    s = salted.ranks.toPandas().sort_values("id")["rank"].to_numpy()
+    p = probed.ranks.toPandas().sort_values("id")["rank"].to_numpy()
+    # salting reshapes the partial-sum tree, so allow the last few ulps
+    np.testing.assert_allclose(s, p, rtol=0, atol=1e-14)
