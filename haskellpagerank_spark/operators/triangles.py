@@ -69,6 +69,74 @@ def triangle_count(g: Graph) -> DataFrame:
     return triangles(g).agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+def triangle_count_incremental(g_old: Graph, new_edges: DataFrame,
+                               prev_count: int) -> DataFrame:
+    """Triangle count after adding ``new_edges`` to ``g_old``, without
+    re-joining the whole graph: new total = ``prev_count`` + the number of
+    distinct triangles containing at least one genuinely-new edge.
+
+    Per-crawl-batch cost is O(|Δ| × degree of the smaller endpoint), not
+    O(|E|^1.5): each new canonical edge expands its *lower-degree* endpoint's
+    adjacency (the same hub guard as the one-shot count) and semi-joins the
+    closure; triangles found via several new edges are deduped by their
+    sorted vertex triple — a shuffle over delta triangles only. Edge
+    additions only (the append sink never deletes). Returns a single-row
+    (n_triangles long), identical to ``triangle_count`` on the union graph.
+    """
+    und_old = undirected_simple_edges(g_old)
+    canon_old = und_old.where(F.col("src") < F.col("dst"))
+    canon_new = (
+        new_edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .join(canon_old, ["src", "dst"], "left_anti")
+    )
+    und_all = und_old.unionAll(
+        canon_new.unionAll(
+            canon_new.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst")))
+    ).dropDuplicates(["src", "dst"])
+    deg = und_all.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg"))
+
+    # orient each new edge from its lower-(degree, id) endpoint, so the
+    # adjacency expansion fans out on the smaller side even when the new
+    # edge touches a mega-hub
+    e = (
+        canon_new
+        .join(deg.withColumnRenamed("id", "src")
+              .withColumnRenamed("deg", "sdeg"), "src")
+        .join(deg.withColumnRenamed("id", "dst")
+              .withColumnRenamed("deg", "ddeg"), "dst")
+        .select(
+            F.when((F.col("sdeg") < F.col("ddeg"))
+                   | ((F.col("sdeg") == F.col("ddeg"))
+                      & (F.col("src") < F.col("dst"))),
+                   F.col("src")).otherwise(F.col("dst")).alias("lo"),
+            F.when((F.col("sdeg") < F.col("ddeg"))
+                   | ((F.col("sdeg") == F.col("ddeg"))
+                      & (F.col("src") < F.col("dst"))),
+                   F.col("dst")).otherwise(F.col("src")).alias("hi"),
+        )
+    )
+    adj = und_all.select(F.col("src").alias("lo"), F.col("dst").alias("w"))
+    cand = e.join(adj, "lo").where(F.col("w") != F.col("hi"))
+    closed = cand.join(
+        und_all,
+        (F.col("w") == F.col("src")) & (F.col("hi") == F.col("dst")),
+        "left_semi",
+    )
+    delta = (
+        closed.select(F.array_sort(F.array("lo", "hi", "w")).alias("t"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return delta.select(
+        (F.col("n") + F.lit(int(prev_count))).alias("n_triangles"))
+
+
 def triangles_per_vertex(g: Graph) -> DataFrame:
     """(id, n_triangles) for every vertex in the dense space (0 for
     triangle-free vertices) — local clustering numerator."""

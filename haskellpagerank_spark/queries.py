@@ -375,6 +375,20 @@ def _q_triangles_per_vertex_nation(spark, sf_dir):
     return triangles_per_vertex(nation_trade_graph(spark, sf_dir))
 
 
+def _q_triangles_incremental_nation(spark, sf_dir):
+    """Incremental triangle count through the gate: one-shot count on a
+    deterministic ~2/3 edge subset, then the delta enumeration over the
+    rest. The total is delta-path-independent, so the oracle is the same
+    full-graph triangle SQL as triangle_count_nation."""
+    from .operators.graph import from_edge_df
+    from .operators.triangles import triangle_count, triangle_count_incremental
+    g = nation_trade_graph(spark, sf_dir)
+    cond = (F.col("src") + F.col("dst")) % 3 != 0
+    base = from_edge_df(g.edges.where(cond), num_vertices=g.num_vertices)
+    prev = triangle_count(base).first()["n_triangles"]
+    return triangle_count_incremental(base, g.edges.where(~cond), prev)
+
+
 def _q_undirected_nation(spark, sf_dir):
     from .operators.graph import merge_undirected
     return merge_undirected(nation_trade_graph(spark, sf_dir)).edges
@@ -714,6 +728,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lp_nation_5": _q_lp_nation_5,
     "lp_cs_3": _q_lp_cs_3,
     "triangle_count_nation": _q_triangles_nation,
+    "triangles_incremental_nation": _q_triangles_incremental_nation,
     "prism_nation": _q_prism_nation,
     "triangles_per_vertex_nation": _q_triangles_per_vertex_nation,
     "undirected_edges_nation": _q_undirected_nation,
@@ -827,6 +842,8 @@ ORACLES: dict[str, str] = {
     "lp_nation_5": lp_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, 5),
     "lp_cs_3": lp_sql(CS_EDGES_SQL, CS_VERTS_SQL, 3),
     "triangle_count_nation": TRIANGLES_NATION_SQL,
+    # the incremental count totals to the same full-graph value
+    "triangles_incremental_nation": TRIANGLES_NATION_SQL,
     "token_stats": f"""
         SELECT doc_id,
                CASE WHEN length(trim(text)) = 0 THEN 0
