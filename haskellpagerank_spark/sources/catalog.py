@@ -165,13 +165,16 @@ class Table:
     # ------------------------------------------------------------- commits
 
     def commit(self, df: DataFrame, mode: str = "append",
-               partition_by: list[str] | None = None) -> int:
+               partition_by: list[str] | None = None,
+               operation: str | None = None) -> int:
         """Write ``df`` as a new snapshot; returns the snapshot id.
 
         ``append`` keeps the parent snapshot's files; ``overwrite`` starts
         the file list fresh (old files stay on disk for time travel).
         The data write happens BEFORE the metadata swap — a crash mid-commit
         leaves an orphan data dir and an unchanged table, never corruption.
+        ``operation`` overrides the manifest's operation label (observability
+        only — e.g. ``compact``).
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown commit mode {mode!r}")
@@ -200,7 +203,7 @@ class Table:
             "format": "hpr-table/1",
             "snapshot_id": base + 1,
             "parent_id": base or None,
-            "operation": mode,
+            "operation": operation or mode,
             "partition_by": partition_by or [],
             "schema": df.schema.json(),
             "files": [f.to_json() for f in prev + new_files],
@@ -221,6 +224,33 @@ class Table:
             fh.write(str(base + 1))
         os.replace(hint_tmp, os.path.join(self.meta_dir, _VERSION_HINT))
         return base + 1
+
+    def compact(self, spark: SparkSession, target_files: int = 8,
+                sort_by: list[str] | None = None) -> int:
+        """Rewrite the current snapshot into ``target_files`` larger files
+        and commit the result as a new snapshot with identical rows — the
+        maintenance pass a continuously-ingesting table needs (each
+        streaming micro-batch appends small files; scan cost and task
+        scheduling degrade with file count, not byte count).
+
+        ``sort_by`` range-partitions and sorts the rewrite (e.g.
+        ``["src"]`` on an edge table clusters each vertex's out-edges into
+        one file, tightening per-file min/max stats so ``scan`` pruning
+        actually prunes). Old files stay immutable on disk, so time travel
+        to pre-compaction snapshots is unaffected. Partition layout is
+        preserved.
+        """
+        man = self.manifest()
+        df = self.read(spark)
+        if sort_by:
+            df = (df.repartitionByRange(target_files, *sort_by)
+                  .sortWithinPartitions(*sort_by))
+        else:
+            df = df.coalesce(target_files)
+        return self.commit(
+            df, mode="overwrite",
+            partition_by=man["partition_by"] or None,
+            operation="compact")
 
     # -------------------------------------------------------------- reads
 

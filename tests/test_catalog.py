@@ -120,3 +120,30 @@ def test_pages_through_catalog_byte_identical(spark, tmp_path):
               .join(pages.select("url", "text"), "url"))
     assert joined.where(F.col("t2") != F.col("text")).count() == 0
     assert set(back.columns) == {"url", "warc_ts", "html", "text", "lang"}
+
+
+def test_compact_preserves_rows_and_time_travel(spark, tmp_path):
+    """Compaction rewrites many small append files into few sorted ones:
+    identical rows, fewer files, tighter per-file stats for the scan
+    pruner, and pre-compaction snapshots still readable."""
+    t = Table(str(tmp_path / "t7"))
+    ev = _events(spark)
+    # five small appends (the streaming micro-batch pattern)
+    for k in range(5):
+        t.commit(ev.where(F.col("event_id") % 5 == k).repartition(4))
+    n_files_before = len(t.files())
+    n_rows = t.read(spark).count()
+    assert n_files_before >= 20
+
+    v = t.compact(spark, target_files=2, sort_by=["event_id"])
+    assert t.manifest()["operation"] == "compact"
+    assert len(t.files()) <= 2
+    assert t.read(spark).count() == n_rows
+    # content identical, not just the count
+    assert t.read(spark).exceptAll(ev).count() == 0
+    # time travel to the pre-compaction snapshot still sees the old layout
+    assert len(t.files(v - 1)) == n_files_before
+    assert t.read(spark, snapshot=v - 1).count() == n_rows
+    # sorted rewrite -> disjoint per-file event_id ranges -> pruning works
+    _, report = t.scan(spark, "event_id", lo=0, hi=10)
+    assert report["files_pruned"] >= 1
