@@ -482,6 +482,13 @@ def _q_fingerprint(spark, sf_dir):
     return T.fingerprint(_docs(spark, sf_dir))
 
 
+def _q_corpus_prep(spark, sf_dir):
+    """The composed training-corpus pipeline: exact dedup -> quality gate
+    -> language gate -> annotation, one Catalyst plan."""
+    from .functions.pipeline import prepare_corpus
+    return prepare_corpus(_docs(spark, sf_dir), lang="en", min_quality=0.5)
+
+
 def _q_exact_dedup(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return (
@@ -739,6 +746,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_features": _q_quality,
     "lang_id": _q_lang_id,
     "doc_fingerprint": _q_fingerprint,
+    "corpus_prep": _q_corpus_prep,
     "exact_dedup_groups": _q_exact_dedup,
     "neardup_jaccard_blocked": _q_neardup_jaccard,
     "neardup_minhash_lsh": _q_minhash_lsh,
@@ -904,6 +912,55 @@ ORACLES: dict[str, str] = {
                md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
                    AS fingerprint
         FROM documents
+    """,
+    "corpus_prep": f"""
+        WITH canon AS (
+            SELECT md5(text) AS h, MIN(doc_id) AS doc_id
+            FROM documents GROUP BY 1
+        ),
+        dedup AS (
+            SELECT d.* FROM documents d
+            JOIN canon c ON md5(d.text) = c.h AND d.doc_id = c.doc_id
+        ),
+        t AS (
+            SELECT *, {TOK_SQL} AS tok,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len({TOK_SQL}) END AS n_tok
+            FROM dedup
+        ),
+        q AS (
+            SELECT doc_id, text, n_tok AS n_tokens,
+                   ROUND((
+                       (CASE WHEN n_tok >= 10 AND n_tok <= 10000
+                             THEN 1.0 ELSE 0.0 END)
+                       + (CASE WHEN length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                                / GREATEST(n_tok, 1) >= 2.0
+                           AND length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                                / GREATEST(n_tok, 1) <= 12.0 THEN 1.0 ELSE 0.0 END)
+                       + len(list_distinct(tok))::DOUBLE / GREATEST(n_tok, 1)
+                       + LEAST(len(list_filter(tok, x -> lower(x) IN ({_markers_sql('en')})))::DOUBLE
+                               / GREATEST(n_tok, 1) * 10, 1.0)
+                   ) / 4.0, 6) AS quality_score,
+                   len(list_filter(tok, x -> lower(x) IN ({_markers_sql('de')}))) AS hits_de,
+                   len(list_filter(tok, x -> lower(x) IN ({_markers_sql('en')}))) AS hits_en,
+                   len(list_filter(tok, x -> lower(x) IN ({_markers_sql('es')}))) AS hits_es,
+                   len(list_filter(tok, x -> lower(x) IN ({_markers_sql('fr')}))) AS hits_fr
+            FROM t
+        ),
+        l AS (
+            SELECT *,
+                   CASE WHEN GREATEST(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+                        WHEN hits_de = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+                        WHEN hits_en = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+                        WHEN hits_es = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM q
+        )
+        SELECT doc_id, lang_pred, n_tokens, quality_score,
+               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                   AS fingerprint
+        FROM l
+        WHERE quality_score >= 0.5 AND lang_pred = 'en'
     """,
     "exact_dedup_groups": """
         SELECT md5(text) AS text_hash, COUNT(*) AS n_docs,

@@ -250,3 +250,29 @@ def test_ann_ivf_recall_and_determinism(emb):
         hits += len(want & have)
     recall = hits / (3 * len(qids))
     assert recall >= 0.6, f"IVF recall {recall:.2f}"
+
+
+def test_prepare_corpus_pipeline(spark):
+    """Composed corpus prep: exact dedup keeps the smallest id, the quality
+    gate drops degenerate text, the language gate drops non-target docs."""
+    from haskellpagerank_spark.functions.pipeline import (dedup_exact,
+                                                          prepare_corpus)
+    good = ("the quick brown fox jumps over the lazy dog and then walks "
+            "back home with a friend from the old town near the river")
+    rows = [
+        (1, good),                       # survives
+        (5, good),                       # exact dup of 1 -> dropped
+        (2, "aaa " * 40),                # repetitive, no stopwords -> low q
+        (3, "der und die das ist nicht ein mit sich auf auch nach bei " * 3),
+        (4, good + " every morning before work starts at nine"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r.doc_id for r in dedup_exact(docs).select("doc_id").collect()}
+    assert kept == {1, 2, 3, 4}
+
+    out = prepare_corpus(docs, lang="en", min_quality=0.5).toPandas()
+    assert set(out.doc_id) == {1, 4}
+    assert set(out.columns) == {"doc_id", "lang_pred", "n_tokens",
+                                "quality_score", "fingerprint"}
+    assert (out.lang_pred == "en").all()
+    assert (out.quality_score >= 0.5).all()
