@@ -88,6 +88,22 @@ def maintain_ranks(spark: SparkSession, edges_dir: str, num_vertices: int,
     return run_pagerank_auto(g, cfg, init_ranks=prev_ranks)
 
 
+def dedup_doc_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exactly-once *cross-batch* exact dedup of a streaming documents
+    source: the first arrival of each text wins; re-deliveries in the same
+    or any later micro-batch are dropped.
+
+    State is Spark's streaming-dedup store keyed on md5(text) — 16 bytes
+    per distinct document ever seen, partitioned across the state store's
+    shuffle partitions and checkpointed with the query. This is the
+    streaming half of functions/pipeline.dedup_exact: a continuous crawl
+    dedups at ingest so the batch pipeline never re-shuffles known text.
+    """
+    return (docs.withColumn("_text_hash", F.md5(F.col(text_col)))
+            .dropDuplicates(["_text_hash"])
+            .drop("_text_hash"))
+
+
 def maintain_components(spark: SparkSession, edges_dir: str,
                         num_vertices: int,
                         prev_labels: DataFrame | None = None,

@@ -201,6 +201,16 @@ def main() -> int:
         must_not=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
     )
 
+    # 9. composed corpus prep: one plan, untouched columns (lang, source,
+    #    n_chars) pruned out of the documents scan, no python
+    from haskellpagerank_spark.functions.pipeline import prepare_corpus
+    audit(
+        "prepare_corpus — composed pipeline, pruned scan, catalyst-only",
+        prepare_corpus(docs),
+        must=["HashAggregate", "WholeStageCodegen"],
+        must_not=["BatchEvalPython", "ArrowEvalPython", "n_chars"],
+    )
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

@@ -109,3 +109,38 @@ def test_maintain_ranks_over_ingested_batches(spark, tmp_path):
     c = cold.ranks.toPandas().sort_values("id")["rank"].to_numpy()
     np.testing.assert_allclose(w, c, atol=1e-9)
     assert warm.iterations < cold.iterations
+
+
+def test_dedup_doc_stream_across_batches(spark, tmp_path):
+    """Cross-batch exact dedup: a text re-delivered in a later micro-batch
+    is dropped by the checkpointed dedup state; first arrival wins."""
+    from haskellpagerank_spark.streaming.ingest import dedup_doc_stream
+    in_dir, out, ck = (str(tmp_path / d) for d in ("docs_in", "out", "ck3"))
+    os.makedirs(in_dir)
+    schema = "doc_id long, text string"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (dedup_doc_stream(stream)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")], schema)
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 2  # in-batch dup of "alpha text" dropped
+    assert {r.text for r in got.collect()} == {"alpha text", "beta text"}
+
+    # batch 2 re-delivers both texts (new ids) plus one genuinely new doc
+    b2 = spark.createDataFrame(
+        [(4, "alpha text"), (5, "beta text"), (6, "gamma text")], schema)
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 3  # only gamma survived batch 2
+    assert {r.text for r in got.collect()} == {
+        "alpha text", "beta text", "gamma text"}
