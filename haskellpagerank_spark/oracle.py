@@ -296,3 +296,87 @@ def label_propagation(src, dst, n, num_iters=5) -> list[int]:
             break
         labels = new
     return labels
+
+
+# ------------------------------------------------------------ centralities
+# (engine extensions — no reference analogue; standard textbook definitions)
+
+def hits(src, dst, n, num_iters=10):
+    """Kleinberg HITS on the simple directed graph, L2-normalized after
+    each half-step. Returns (hub, authority) arrays."""
+    pairs = sorted(set(zip(src.tolist(), dst.tolist())))
+    if pairs:
+        s = np.array([p[0] for p in pairs], dtype=np.int64)
+        d = np.array([p[1] for p in pairs], dtype=np.int64)
+    else:
+        s = d = np.empty(0, np.int64)
+    hub = np.ones(n)
+    auth = np.zeros(n)
+    for _ in range(num_iters):
+        auth = np.zeros(n)
+        np.add.at(auth, d, hub[s])
+        nrm = np.sqrt((auth * auth).sum())
+        if nrm > 0:
+            auth = auth / nrm
+        hub = np.zeros(n)
+        np.add.at(hub, s, auth[d])
+        nrm = np.sqrt((hub * hub).sum())
+        if nrm > 0:
+            hub = hub / nrm
+    return hub, auth
+
+
+def personalized_pagerank(src, dst, n, seeds, damping=0.85, num_iters=20):
+    """Seeded PageRank: teleport + dangling mass return uniformly to the
+    seed set; duplicate edges weight w = multiplicity/outdeg."""
+    p = np.zeros(n)
+    p[np.asarray(sorted(set(seeds)), dtype=np.int64)] = 1.0 / len(set(seeds))
+    deg = out_degrees(src, n)
+    x = p.copy()
+    for _ in range(num_iters):
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, x[src] / deg[src])
+        dang = x[deg == 0].sum()
+        x = (1.0 - damping) * p + damping * (contrib + dang * p)
+    return x
+
+
+def bfs_distances(src, dst, n, sources, directed=True):
+    """Multi-source BFS hop distances; -1 for unreachable."""
+    adj = [[] for _ in range(n)]
+    for s, d in set(zip(src.tolist(), dst.tolist())):
+        adj[s].append(d)
+        if not directed:
+            adj[d].append(s)
+    dist = [-1] * n
+    frontier = sorted(set(int(s) for s in sources))
+    for s in frontier:
+        dist[s] = 0
+    depth = 0
+    while frontier:
+        depth += 1
+        nxt = []
+        for v in frontier:
+            for u in adj[v]:
+                if dist[u] == -1:
+                    dist[u] = depth
+                    nxt.append(u)
+        frontier = nxt
+    return dist
+
+
+def k_core(src, dst, n, k):
+    """k-core of the undirected simple graph: returns {id: in-core degree}
+    (empty dict when no k-core exists)."""
+    nbrs = [set() for _ in range(n)]
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    alive = {v for v in range(n) if nbrs[v]}
+    while True:
+        drop = {v for v in alive if len(nbrs[v] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    return {v: len(nbrs[v] & alive) for v in alive}

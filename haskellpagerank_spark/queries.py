@@ -643,6 +643,70 @@ def _media(spark, sf_dir):
     )
 
 
+def _q_hits_nation(spark, sf_dir):
+    """HITS hubs/authorities, 10 L2-normalized sweeps (centrality.hits)."""
+    from .operators.centrality import hits
+    res = hits(nation_trade_graph(spark, sf_dir), num_iters=10)
+    return res.df.select(
+        "id", F.round("hub", 8).alias("hub"),
+        F.round("authority", 8).alias("authority"))
+
+
+def _q_ppr_nation(spark, sf_dir):
+    """Personalized PageRank from seed nations {0, 7, 14} — teleport and
+    dangling mass return to the seeds (centrality.personalized_pagerank)."""
+    from .operators.centrality import personalized_pagerank
+    res = personalized_pagerank(
+        nation_trade_graph(spark, sf_dir), seeds=[0, 7, 14],
+        damping=DAMPING, num_iters=20)
+    return res.df.select("id", F.round("rank", 8).alias("rank"))
+
+
+def _q_bfs_nation(spark, sf_dir):
+    """Directed multi-hop BFS distances from nation 0 (semi-naive
+    frontier); reached vertices only."""
+    from .operators.centrality import bfs_distances
+    res = bfs_distances(nation_trade_graph(spark, sf_dir), [0],
+                        directed=True)
+    return res.df
+
+
+def _q_kcore_nation(spark, sf_dir):
+    """6-core of the undirected nation trade graph: iterative peel to the
+    maximal subgraph with min-degree >= 6 (centrality.k_core)."""
+    from .operators.centrality import k_core
+    return k_core(nation_trade_graph(spark, sf_dir), k=6).df
+
+
+def _q_domain_linkgraph(spark, sf_dir):
+    """Host-level rollup of the pages link graph — the web-scale move of
+    aggregating a url graph (10^12 rows) to a domain graph (10^7 rows)
+    before expensive analytics. Pipeline: deterministic pages -> vectorized
+    href extraction -> dictionary encode -> join endpoint ids back to urls
+    -> regexp host extraction -> weighted host-edge aggregation. The
+    encoded graph is exported as a parquet handoff so the DuckDB twin
+    reruns the rollup from the same edges."""
+    from .sources.pages import build_graph, generate_pages
+    pages = generate_pages(spark, num_pages=2000, seed=42, avg_links=6)
+    g, vertices = build_graph(pages)
+    g.edges.write.mode("overwrite").parquet(
+        f"{SQ.HANDOFF_DIR}/domain_edges.parquet")
+    vertices.write.mode("overwrite").parquet(
+        f"{SQ.HANDOFF_DIR}/domain_vertices.parquet")
+    hosts = vertices.select(
+        "id", F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("host"))
+    rolled = (
+        g.edges
+        .join(hosts.select(F.col("id").alias("src"),
+                           F.col("host").alias("src_host")), "src")
+        .join(hosts.select(F.col("id").alias("dst"),
+                           F.col("host").alias("dst_host")), "dst")
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    return rolled
+
+
 def _q_multimodal_metadata(spark, sf_dir):
     from .functions.multimodal import attach_media_metadata
     return attach_media_metadata(_media(spark, sf_dir)).select(
@@ -768,6 +832,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "coloring_bounded_nation": _q_coloring_bounded_nation,
     "coloring_layout_nation": _q_coloring_layout_nation,
     "src_frequency_nation": _q_src_frequency_nation,
+    "hits_nation": _q_hits_nation,
+    "ppr_nation": _q_ppr_nation,
+    "bfs_nation": _q_bfs_nation,
+    "kcore_nation": _q_kcore_nation,
+    "domain_linkgraph": _q_domain_linkgraph,
     "multimodal_metadata": _q_multimodal_metadata,
     "multimodal_features": _q_multimodal_features,
     "frame_sample_plan": _q_frame_sample_plan,
@@ -1075,6 +1144,24 @@ ORACLES: dict[str, str] = {
         f"SELECT id FROM read_parquet("
         f"'{SQ.HANDOFF_DIR}/pages_vertices.parquet/*.parquet')",
         5)),
+    "hits_nation": SQ.hits_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, 10),
+    "ppr_nation": SQ.ppr_sql(NATION_EDGES_SQL, NATION_VERTS_SQL,
+                             [0, 7, 14], 20, damping=DAMPING),
+    "bfs_nation": SQ.bfs_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, [0],
+                             directed=True),
+    "kcore_nation": SQ.k_core_sql(NATION_EDGES_SQL, NATION_VERTS_SQL,
+                                  k=6, rounds=26),
+    "domain_linkgraph": f"""
+        WITH v AS (SELECT id,
+                          regexp_extract(url, '^https?://([^/]+)/', 1) AS host
+                   FROM read_parquet(
+                       '{SQ.HANDOFF_DIR}/domain_vertices.parquet/*.parquet')),
+        e AS (SELECT src, dst FROM read_parquet(
+                  '{SQ.HANDOFF_DIR}/domain_edges.parquet/*.parquet'))
+        SELECT vs.host AS src_host, vd.host AS dst_host, COUNT(*) AS weight
+        FROM e JOIN v vs ON e.src = vs.id JOIN v vd ON e.dst = vd.id
+        GROUP BY 1, 2
+    """,
     "multimodal_features": SQ.multimodal_features_sql(),
     "multimodal_metadata": """
         SELECT doc_id AS media_id,

@@ -447,3 +447,127 @@ WITH m AS (SELECT doc_id AS media_id, sha256(text) AS h FROM documents),
 f AS (SELECT media_id, {', '.join(words)} FROM m)
 SELECT media_id, ROUND({acc}, {round_to}) AS feature_sum FROM f
 """
+
+
+# ---------------------------------------------------------- centralities
+# (engine extensions: HITS / personalized PageRank / BFS / k-core —
+# operators/centrality.py; textbook semantics, deterministic, so the twins
+# are exact unrollings like queries.pagerank_sql)
+
+def hits_sql(edges_sql: str, verts_sql: str, iters: int,
+             round_to: int = 8) -> str:
+    """Unrolled HITS over the simple directed edge set, L2-normalized after
+    each half-step (matches operators.centrality.hits fp-op for fp-op)."""
+    ctes = [
+        f"verts AS MATERIALIZED ({verts_sql})",
+        f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}) "
+        "WHERE src <> dst)",
+        "h0 AS MATERIALIZED (SELECT id, 1.0 AS s FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes += [
+            f"ar{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(h.s) AS s "
+            f"FROM e JOIN h{p} h ON e.src = h.id GROUP BY 1)",
+            f"ad{i} AS MATERIALIZED (SELECT v.id, COALESCE(a.s, 0.0) AS s "
+            f"FROM verts v LEFT JOIN ar{i} a ON v.id = a.id)",
+            f"an{i} AS MATERIALIZED (SELECT sqrt(SUM(s * s)) AS nrm FROM ad{i})",
+            f"a{i} AS MATERIALIZED (SELECT id, CASE WHEN "
+            f"(SELECT nrm FROM an{i}) > 0 THEN s / (SELECT nrm FROM an{i}) "
+            f"ELSE 0.0 END AS s FROM ad{i})",
+            f"hr{i} AS MATERIALIZED (SELECT e.src AS id, SUM(a.s) AS s "
+            f"FROM e JOIN a{i} a ON e.dst = a.id GROUP BY 1)",
+            f"hd{i} AS MATERIALIZED (SELECT v.id, COALESCE(h.s, 0.0) AS s "
+            f"FROM verts v LEFT JOIN hr{i} h ON v.id = h.id)",
+            f"hn{i} AS MATERIALIZED (SELECT sqrt(SUM(s * s)) AS nrm FROM hd{i})",
+            f"h{i} AS MATERIALIZED (SELECT id, CASE WHEN "
+            f"(SELECT nrm FROM hn{i}) > 0 THEN s / (SELECT nrm FROM hn{i}) "
+            f"ELSE 0.0 END AS s FROM hd{i})",
+        ]
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT h.id, ROUND(h.s, {round_to}) AS hub, "
+            f"ROUND(a.s, {round_to}) AS authority "
+            f"FROM h{iters} h JOIN a{iters} a ON h.id = a.id")
+
+
+def ppr_sql(edges_sql: str, verts_sql: str, seeds: list[int], iters: int,
+            damping: float = 0.85, round_to: int = 8) -> str:
+    """Unrolled personalized PageRank: teleport + dangling mass return
+    uniformly to the seed set (operators.centrality.personalized_pagerank)."""
+    seed_list = ", ".join(str(int(s)) for s in sorted(set(seeds)))
+    p0 = 1.0 / len(set(seeds))
+    ctes = [
+        f"verts AS MATERIALIZED ({verts_sql})",
+        f"e AS MATERIALIZED (SELECT src, dst, COUNT(*) AS cnt FROM ({edges_sql}) "
+        "WHERE src <> dst GROUP BY 1, 2)",
+        "deg AS MATERIALIZED (SELECT src, SUM(cnt) AS deg FROM e GROUP BY 1)",
+        "w AS MATERIALIZED (SELECT e.src, e.dst, CAST(e.cnt AS DOUBLE) / deg.deg AS w "
+        "FROM e JOIN deg ON e.src = deg.src)",
+        f"p AS MATERIALIZED (SELECT id, CASE WHEN id IN ({seed_list}) "
+        f"THEN {p0!r} ELSE 0.0 END AS p FROM verts)",
+        "r0 AS MATERIALIZED (SELECT id, p AS rank FROM p)",
+    ]
+    for i in range(1, iters + 1):
+        pi = i - 1
+        ctes += [
+            f"dang{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS m "
+            f"FROM r{pi} r LEFT JOIN deg ON r.id = deg.src "
+            "WHERE deg.src IS NULL)",
+            f"m{i} AS MATERIALIZED (SELECT w.dst AS id, SUM(w.w * r.rank) AS msg "
+            f"FROM w JOIN r{pi} r ON w.src = r.id GROUP BY 1)",
+            f"r{i} AS MATERIALIZED (SELECT v.id, "
+            f"(1.0 - {damping}) * p.p + {damping} * "
+            f"(COALESCE(m.msg, 0.0) + (SELECT m FROM dang{i}) * p.p) AS rank "
+            f"FROM verts v JOIN p ON v.id = p.id "
+            f"LEFT JOIN m{i} m ON v.id = m.id)",
+        ]
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, ROUND(rank, {round_to}) AS rank FROM r{iters}")
+
+
+def bfs_sql(edges_sql: str, verts_sql: str, sources: list[int],
+            directed: bool = True, max_depth: int = 50) -> str:
+    """Multi-source BFS hop distances as a recursive CTE (reached vertices
+    only — matches operators.centrality.bfs_distances)."""
+    src_list = ", ".join(str(int(s)) for s in sorted(set(sources)))
+    base = f"SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst"
+    if not directed:
+        base = ("SELECT DISTINCT src, dst FROM ("
+                f"SELECT src, dst FROM ({edges_sql}) WHERE src <> dst "
+                f"UNION ALL SELECT dst, src FROM ({edges_sql}) "
+                "WHERE src <> dst)")
+    return f"""
+        WITH RECURSIVE e AS ({base}),
+        r(id, d) AS (
+            SELECT id, CAST(0 AS BIGINT) FROM ({verts_sql})
+            WHERE id IN ({src_list})
+            UNION
+            SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id
+            WHERE r.d < {max_depth}
+        )
+        SELECT id, MIN(d) AS dist FROM r GROUP BY 1
+    """
+
+
+def k_core_sql(edges_sql: str, verts_sql: str, k: int, rounds: int) -> str:
+    """Unrolled k-core peel over the undirected simple graph; ``rounds``
+    must cover the peel depth (each non-fixpoint round removes >= 1 vertex,
+    so rounds = |V| + 1 always suffices). Output (id, deg) = the core
+    members with their within-core degree."""
+    ctes = [
+        f"e0 AS MATERIALIZED (SELECT src, dst FROM ({edges_sql}) "
+        "WHERE src <> dst)",
+        "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0))",
+        "v0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM und)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes += [
+            f"d{i} AS MATERIALIZED (SELECT u.src AS id, COUNT(*) AS deg "
+            f"FROM und u JOIN v{p} a ON u.src = a.id "
+            f"JOIN v{p} b ON u.dst = b.id GROUP BY 1)",
+            f"v{i} AS MATERIALIZED (SELECT id FROM d{i} WHERE deg >= {k})",
+        ]
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, deg FROM d{rounds} WHERE deg >= {k}")

@@ -1,0 +1,95 @@
+"""HITS / personalized PageRank / BFS / k-core vs the NumPy oracle on the
+reference fixture graphs (FIXTURES.md). These are engine extensions (no
+reference analogue) — textbook semantics, deterministic, exact-matchable."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from haskellpagerank_spark import oracle
+from haskellpagerank_spark.fixtures import FIXTURE_EDGES
+from haskellpagerank_spark.operators.centrality import (
+    bfs_distances, hits, k_core, personalized_pagerank,
+)
+from haskellpagerank_spark.operators.graph import from_pairs
+
+# skip the empty/trivial fixtures where centralities are degenerate
+FIXTURES = sorted(n for n, e in FIXTURE_EDGES.items() if len(e) >= 4)
+
+
+def _arrays(name):
+    return oracle.parse_edges(FIXTURE_EDGES[name])
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_hits_matches_oracle(spark, name):
+    src, dst, n = _arrays(name)
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    res = hits(g, num_iters=10)
+    rows = {r["id"]: (r["hub"], r["authority"]) for r in res.df.collect()}
+    hub, auth = oracle.hits(src, dst, n, num_iters=10)
+    assert set(rows) == set(range(n))
+    got_hub = np.array([rows[i][0] for i in range(n)])
+    got_auth = np.array([rows[i][1] for i in range(n)])
+    np.testing.assert_allclose(got_hub, hub, atol=1e-9)
+    np.testing.assert_allclose(got_auth, auth, atol=1e-9)
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_personalized_pagerank_matches_oracle(spark, name):
+    src, dst, n = _arrays(name)
+    seeds = [0, n // 2]
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    res = personalized_pagerank(g, seeds, damping=0.85, num_iters=15)
+    rows = {r["id"]: r["rank"] for r in res.df.collect()}
+    want = oracle.personalized_pagerank(src, dst, n, seeds,
+                                        damping=0.85, num_iters=15)
+    got = np.array([rows[i] for i in range(n)])
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_personalized_pagerank_mass_conserved(spark):
+    """With teleport+dangling returning to seeds, total mass stays 1."""
+    g = from_pairs(spark, FIXTURE_EDGES["doubleSquare"])
+    res = personalized_pagerank(g, [0], num_iters=10)
+    total = res.df.agg({"rank": "sum"}).first()[0]
+    assert abs(total - 1.0) < 1e-9
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+@pytest.mark.parametrize("directed", [True, False])
+def test_bfs_matches_oracle(spark, name, directed):
+    src, dst, n = _arrays(name)
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    res = bfs_distances(g, [0], directed=directed)
+    got = {r["id"]: r["dist"] for r in res.df.collect()}
+    want = oracle.bfs_distances(src, dst, n, [0], directed=directed)
+    # engine returns reached-only; oracle marks unreachable as -1
+    assert got == {i: d for i, d in enumerate(want) if d >= 0}
+
+
+def test_bfs_multi_source(spark):
+    src, dst, n = _arrays("doubleSquare")
+    g = from_pairs(spark, FIXTURE_EDGES["doubleSquare"])
+    sources = [0, n - 1]
+    res = bfs_distances(g, sources, directed=True)
+    got = {r["id"]: r["dist"] for r in res.df.collect()}
+    want = oracle.bfs_distances(src, dst, n, sources, directed=True)
+    assert got == {i: d for i, d in enumerate(want) if d >= 0}
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+@pytest.mark.parametrize("k", [2, 3])
+def test_k_core_matches_oracle(spark, name, k):
+    src, dst, n = _arrays(name)
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    res = k_core(g, k)
+    got = {r["id"]: r["deg"] for r in res.df.collect()}
+    assert got == oracle.k_core(src, dst, n, k)
+
+
+def test_k_core_empty_when_k_too_large(spark):
+    g = from_pairs(spark, FIXTURE_EDGES["doubleSquare"])
+    res = k_core(g, 100)
+    assert res.df.count() == 0
