@@ -1,0 +1,441 @@
+"""Web-graph structure analytics: local clustering coefficient, co-citation
+similarity, strongly connected components, Broder bow-tie decomposition,
+weighted shortest paths, and landmark harmonic centrality.
+
+North-rule scope extensions (the reference's only structural outputs are
+degree histograms and colorings — internalutil/Data/Graph/EdgeArray.hs:69-76,
+graphcoloring/Data/Graph/GraphColoring.hs); these are the analyses a
+link-graph user runs next on a Common-Crawl-style crawl: the bow-tie paper
+(Broder et al., "Graph structure in the Web", WWW 2000) is literally about
+this input. All operators are Catalyst equi-join compositions over the edge
+DataFrame — no Python in any hot path.
+
+Scale notes per operator:
+- ``clustering_coefficient``: numerator rides on the degree-oriented
+  triangle join (operators/triangles.py) — hubs expand only through their
+  lower-degree neighbors; the rest is one degree agg + one |V| join.
+- ``cocitation``: the pair expansion is quadratic in each citing page's
+  out-degree, so sources above ``max_fanout`` are dropped first (the
+  standard co-occurrence hub guard — a directory page linking 10^5 urls
+  would alone emit 5x10^9 pairs). The guard is a degree semi-join, the
+  expansion a self-equi-join on the citing key.
+- ``strongly_connected_components``: trim + forward/backward min-label
+  rounds. Each outer round first peels trivial SCCs (vertices with no
+  in- or out-edges *within the remaining subgraph* — a fixpoint of two
+  semi-joins that flattens DAG tails fast), then runs two min-label
+  fixpoints (same plan shape as connected_components); vertices whose
+  forward and backward labels agree form finished SCCs. Outer rounds =
+  "SCC levels" after trimming — small for web graphs, which are one giant
+  SCC plus shallow periphery (the bow-tie shape).
+- ``bowtie``: 3 multi-source BFS reachability passes from the giant SCC
+  (semi-naive frontiers, each edge expanded once per discovery).
+- ``sssp``: Bellman-Ford supersteps with a semi-naive frontier — only
+  edges out of vertices improved last round are re-relaxed.
+- ``harmonic_centrality``: multi-landmark BFS with (landmark, id) composite
+  frontier keys — |landmarks| sweeps' state in one DataFrame, one job per
+  BFS level, then a 1/d sum. Exact when landmarks = V (fixtures); at web
+  scale pass a uniform landmark sample (Eppstein–Wang estimator).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.checkpoint import IterationMetrics
+from .graph import Graph, invert, undirected_simple_edges
+from .triangles import triangles_per_vertex
+
+
+@dataclass
+class StructureResult:
+    df: DataFrame
+    iterations: int
+    metrics: list[IterationMetrics] = field(default_factory=list)
+
+
+# ------------------------------------------------- clustering coefficient
+
+def clustering_coefficient(g: Graph) -> DataFrame:
+    """Per-vertex local clustering coefficient over the undirected simple
+    graph: cc(v) = 2*T(v) / (deg(v) * (deg(v)-1)), 0.0 when deg < 2.
+
+    Returns (id, deg, n_triangles, cc) for the dense vertex space.
+    """
+    und = undirected_simple_edges(g)
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    tri = triangles_per_vertex(g)
+    return (
+        g.vertices()
+        .join(deg, "id", "left")
+        .join(tri, "id", "left")
+        .select(
+            "id",
+            F.coalesce("deg", F.lit(0)).alias("deg"),
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.coalesce("deg", F.lit(0)) >= 2,
+                2.0 * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+            ).otherwise(F.lit(0.0)).alias("cc"),
+        )
+    )
+
+
+# ------------------------------------------------------------ co-citation
+
+def cocitation(g: Graph, min_common: int = 1,
+               max_fanout: int = 10_000) -> DataFrame:
+    """Co-citation pairs: (a, b, common) with a < b and ``common`` = number
+    of pages citing both a and b. Pages citing more than ``max_fanout``
+    targets are excluded from pair generation (hub guard — their pair
+    fan-out is quadratic and their co-citation signal is noise; same
+    rationale as dropping stopwords in co-occurrence mining).
+    """
+    e = g.edges.where(F.col("src") != F.col("dst")) \
+        .dropDuplicates(["src", "dst"])
+    fanout = e.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    keep = fanout.where(F.col("n") <= max_fanout).select("src")
+    e = e.join(keep, "src", "left_semi")
+    e1, e2 = e.alias("e1"), e.alias("e2")
+    pairs = (
+        e1.join(e2, F.col("e1.src") == F.col("e2.src"))
+        .where(F.col("e1.dst") < F.col("e2.dst"))
+        .groupBy(F.col("e1.dst").alias("a"), F.col("e2.dst").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    return pairs
+
+
+def bibliographic_coupling(g: Graph, min_common: int = 1,
+                           max_fanout: int = 10_000) -> DataFrame:
+    """Bibliographic-coupling pairs: (a, b, common) with ``common`` = number
+    of pages that both a and b cite — co-citation on the inverted graph
+    (the hub guard then bounds *in*-degree fan-in)."""
+    return cocitation(g.with_edges(invert(g.edges)),
+                      min_common=min_common, max_fanout=max_fanout)
+
+
+# ---------------------------------------- strongly connected components
+
+def _min_label_fixpoint(edges: DataFrame, labels: DataFrame,
+                        max_sweeps: int = 200) -> DataFrame:
+    """labels(id, lbl) -> fixpoint of lbl(v) = min(lbl(v), min lbl(u) over
+    edges u->v). Semi-naive: only labels that changed last sweep are
+    re-propagated."""
+    frontier = labels
+    for _ in range(max_sweeps):
+        msgs = (
+            edges.join(frontier.withColumnRenamed("id", "src")
+                       .withColumnRenamed("lbl", "mlbl"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("mlbl").alias("mlbl"))
+        )
+        improved = (
+            labels.join(msgs, "id")
+            .where(F.col("mlbl") < F.col("lbl"))
+            .select("id", F.col("mlbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        labels = (
+            labels.join(improved.withColumnRenamed("lbl", "nlbl"),
+                        "id", "left")
+            .select("id", F.coalesce("nlbl", "lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return labels
+
+
+def strongly_connected_components(g: Graph,
+                                  max_rounds: int = 100) -> StructureResult:
+    """SCC decomposition of the directed graph: (id, scc) with scc = the
+    minimum vertex id in the component.
+
+    Per outer round over the *remaining* subgraph:
+    1. trim fixpoint — vertices with no remaining in-edges or no remaining
+       out-edges are singleton SCCs (peels DAG chains/tendrils in bulk);
+    2. forward min-label fixpoint  F(v) = min{u : u reaches v},
+       backward min-label fixpoint B(v) = min{u : v reaches u};
+    3. F(v) == B(v) == r  ⇔  v and r reach each other  ⇒  v ∈ SCC(r);
+       assign and remove all such v (at least the remaining-minimum vertex
+       always finishes, so the loop terminates).
+    """
+    spark = g.spark
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    all_edges = (
+        g.edges.where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .repartition(shuffle_p, "src")
+        .persist()
+    )
+    all_edges.count()
+    remaining = g.vertices().localCheckpoint(eager=True)
+    assigned = None
+    metrics: list[IterationMetrics] = []
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        t0 = time.monotonic()
+        n_rem = remaining.count()
+        if n_rem == 0:
+            rounds -= 1
+            break
+        edges = (
+            all_edges
+            .join(remaining.withColumnRenamed("id", "src"), "src",
+                  "left_semi")
+            .join(remaining.withColumnRenamed("id", "dst"), "dst",
+                  "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        # 1. trim fixpoint: no in-edges or no out-edges => singleton SCC
+        trimmed_total = None
+        cur = remaining
+        while True:
+            has_out = edges.select(F.col("src").alias("id")).dropDuplicates()
+            has_in = edges.select(F.col("dst").alias("id")).dropDuplicates()
+            keep = (
+                cur.join(has_out, "id", "left_semi")
+                .join(has_in, "id", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            trimmed = cur.join(keep, "id", "left_anti") \
+                .localCheckpoint(eager=True)
+            if trimmed.isEmpty():
+                break
+            trimmed_total = (trimmed if trimmed_total is None
+                             else trimmed_total.unionByName(trimmed))
+            cur = keep
+            edges = (
+                edges
+                .join(keep.withColumnRenamed("id", "src"), "src",
+                      "left_semi")
+                .join(keep.withColumnRenamed("id", "dst"), "dst",
+                      "left_semi")
+                .localCheckpoint(eager=True)
+            )
+        singleton = (
+            trimmed_total.select("id", F.col("id").alias("scc"))
+            if trimmed_total is not None else None
+        )
+        # 2. forward/backward min-label over the trimmed core
+        base = cur.select("id", F.col("id").alias("lbl"))
+        fwd = _min_label_fixpoint(edges, base)
+        bwd = _min_label_fixpoint(invert(edges), base)
+        done = (
+            fwd.withColumnRenamed("lbl", "f")
+            .join(bwd.withColumnRenamed("lbl", "b"), "id")
+            .where(F.col("f") == F.col("b"))
+            .select("id", F.col("f").alias("scc"))
+        )
+        batch = (done.unionByName(singleton) if singleton is not None
+                 else done).localCheckpoint(eager=True)
+        n_done = batch.count()
+        assigned = (batch if assigned is None
+                    else assigned.unionByName(batch).localCheckpoint(
+                        eager=True))
+        remaining = remaining.join(batch.select("id"), "id", "left_anti") \
+            .localCheckpoint(eager=True)
+        metrics.append(IterationMetrics(
+            iteration=rounds, l1_residual=float(n_rem - n_done),
+            linf_residual=float(1 if n_done < n_rem else 0),
+            rows_shuffled=n_rem, wall_s=time.monotonic() - t0,
+            extra={"assigned": n_done, "remaining": n_rem - n_done}))
+    all_edges.unpersist()
+    return StructureResult(df=assigned, iterations=rounds, metrics=metrics)
+
+
+# ----------------------------------------------------- bow-tie decomposition
+
+def bowtie(g: Graph, scc_labels: DataFrame | None = None) -> StructureResult:
+    """Broder bow-tie decomposition around the largest SCC:
+    (id, component) with component in {'CORE', 'IN', 'OUT', 'OTHER'}.
+
+    CORE = the largest SCC (ties broken by smaller scc id); IN = reaches
+    CORE but is outside it; OUT = reachable from CORE but outside it;
+    OTHER = everything else (tendrils, tubes, disconnected). Reachability =
+    two multi-source BFS passes seeded with the whole CORE.
+    """
+    from .centrality import bfs_distances
+
+    res_scc = None
+    if scc_labels is None:
+        res_scc = strongly_connected_components(g)
+        scc_labels = res_scc.df
+    core_id_row = (
+        scc_labels.groupBy("scc").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("scc"))
+        .first()
+    )
+    core_scc = int(core_id_row["scc"])
+    core = scc_labels.where(F.col("scc") == core_scc).select("id")
+    core_ids = [int(r["id"]) for r in core.collect()]
+
+    fwd = bfs_distances(g, core_ids, directed=True).df.select("id")
+    back = bfs_distances(g.with_edges(invert(g.edges)), core_ids,
+                         directed=True).df.select("id")
+    out = (
+        g.vertices()
+        .join(core.withColumn("c", F.lit(True)), "id", "left")
+        .join(fwd.withColumn("f", F.lit(True)), "id", "left")
+        .join(back.withColumn("b", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            F.when(F.col("c"), F.lit("CORE"))
+            .when(F.col("b"), F.lit("IN"))
+            .when(F.col("f"), F.lit("OUT"))
+            .otherwise(F.lit("OTHER")).alias("component"),
+        )
+    )
+    return StructureResult(
+        df=out,
+        iterations=res_scc.iterations if res_scc else 0,
+        metrics=res_scc.metrics if res_scc else [])
+
+
+# ------------------------------------------------------------- weighted SSSP
+
+def sssp(g: Graph, weighted_edges: DataFrame, sources: list[int],
+         max_rounds: int = 200) -> StructureResult:
+    """Single/multi-source shortest paths over non-negative edge weights
+    (Bellman-Ford supersteps, semi-naive frontier). ``weighted_edges`` is
+    (src, dst, w double); parallel edges are fine (min wins). Returns
+    (id, dist) for reached vertices only.
+    """
+    if not sources:
+        raise ValueError("sssp needs at least one source")
+    spark = g.spark
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = (
+        weighted_edges.where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst").agg(F.min("w").alias("w"))
+        .repartition(shuffle_p, "src")
+        .persist()
+    )
+    n_edges = e.count()
+    src_set = sorted({int(s) for s in sources})
+    dist = (
+        g.vertices().where(F.col("id").isin(src_set))
+        .select("id", F.lit(0.0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    metrics: list[IterationMetrics] = []
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        t0 = time.monotonic()
+        cand = (
+            e.join(frontier.withColumnRenamed("id", "src")
+                   .withColumnRenamed("dist", "d0"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min(F.col("d0") + F.col("w")).alias("nd"))
+        )
+        improved = (
+            cand.join(dist, "id", "left")
+            .where(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            .select("id", F.col("nd").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        n_improved = improved.count()
+        metrics.append(IterationMetrics(
+            iteration=rounds, l1_residual=float(n_improved),
+            linf_residual=float(1 if n_improved else 0),
+            rows_shuffled=n_improved + n_edges,
+            wall_s=time.monotonic() - t0,
+            extra={"improved": n_improved}))
+        if n_improved == 0:
+            rounds -= 1
+            break
+        dist = (
+            dist.join(improved.withColumnRenamed("dist", "nd"),
+                      "id", "full")
+            .select(
+                "id",
+                F.when(F.col("nd").isNotNull()
+                       & (F.col("dist").isNull()
+                          | (F.col("nd") < F.col("dist"))),
+                       F.col("nd")).otherwise(F.col("dist")).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    e.unpersist()
+    return StructureResult(df=dist, iterations=rounds, metrics=metrics)
+
+
+# ------------------------------------------------------ harmonic centrality
+
+def harmonic_centrality(g: Graph, landmarks: list[int],
+                        directed: bool = True,
+                        max_depth: int = 200) -> StructureResult:
+    """Harmonic centrality h(v) = sum over landmarks u != v reaching v of
+    1/d(u, v), via one multi-landmark BFS with (lm, id) composite keys.
+
+    Exact centrality when ``landmarks`` = all vertices; a uniform landmark
+    sample gives the Eppstein–Wang estimate scaled by |V|/|landmarks| (the
+    caller scales). Returns (id, harmonic) over the dense vertex space.
+    """
+    if not landmarks:
+        raise ValueError("harmonic_centrality needs at least one landmark")
+    spark = g.spark
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = g.edges.where(F.col("src") != F.col("dst")) \
+        .dropDuplicates(["src", "dst"])
+    if not directed:
+        e = e.unionAll(invert(e)).dropDuplicates(["src", "dst"])
+    e = e.repartition(shuffle_p, "src").persist()
+    e.count()
+
+    lm_set = sorted({int(s) for s in landmarks})
+    dist = (
+        g.vertices().where(F.col("id").isin(lm_set))
+        .select(F.col("id").alias("lm"), "id",
+                F.lit(0).cast("long").alias("d"))
+        .repartition(shuffle_p, "lm", "id")
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    metrics: list[IterationMetrics] = []
+    depth = 0
+    while depth < max_depth:
+        depth += 1
+        t0 = time.monotonic()
+        reached = (
+            e.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select("lm", F.col("dst").alias("id"))
+            .dropDuplicates(["lm", "id"])
+            .join(dist.select("lm", "id"), ["lm", "id"], "left_anti")
+            .select("lm", "id", F.lit(depth).cast("long").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        n_new = reached.count()
+        metrics.append(IterationMetrics(
+            iteration=depth, l1_residual=float(n_new),
+            linf_residual=float(1 if n_new else 0),
+            rows_shuffled=n_new, wall_s=time.monotonic() - t0,
+            extra={"reached": n_new}))
+        if n_new == 0:
+            depth -= 1
+            break
+        dist = dist.unionByName(reached).localCheckpoint(eager=True)
+        frontier = reached
+    e.unpersist()
+    h = (
+        dist.where(F.col("d") > 0)
+        .groupBy("id")
+        .agg(F.sum(1.0 / F.col("d")).alias("harmonic"))
+    )
+    out = (
+        g.vertices()
+        .join(h, "id", "left")
+        .select("id", F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"))
+    )
+    return StructureResult(df=out, iterations=depth, metrics=metrics)

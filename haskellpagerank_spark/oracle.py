@@ -380,3 +380,172 @@ def k_core(src, dst, n, k):
             break
         alive -= drop
     return {v: len(nbrs[v] & alive) for v in alive}
+
+
+# ----------------------------------------------------- structure analytics
+# (engine extensions — operators/structure.py; textbook definitions)
+
+def clustering_coefficient(src, dst, n):
+    """Per-vertex local clustering coefficient over the undirected simple
+    graph. Returns (deg, tri, cc) arrays."""
+    nbrs = [set() for _ in range(n)]
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    deg = np.array([len(x) for x in nbrs], dtype=np.int64)
+    tri = np.zeros(n, dtype=np.int64)
+    for v in range(n):
+        t = 0
+        for u in nbrs[v]:
+            t += len(nbrs[v] & nbrs[u])
+        tri[v] = t // 2
+    cc = np.where(deg >= 2, 2.0 * tri / np.maximum(deg * (deg - 1), 1), 0.0)
+    return deg, tri, cc
+
+
+def cocitation(src, dst, n, min_common=1, max_fanout=10_000):
+    """{(a, b): common in-citers} with a < b, hub guard on citing fanout."""
+    out = {}
+    cites = {}
+    for s, d in set(zip(src.tolist(), dst.tolist())):
+        if s != d:
+            cites.setdefault(s, set()).add(d)
+    for s, ds in cites.items():
+        if len(ds) > max_fanout:
+            continue
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                key = (ds[i], ds[j])
+                out[key] = out.get(key, 0) + 1
+    return {k: v for k, v in out.items() if v >= min_common}
+
+
+def strongly_connected_components(src, dst, n):
+    """Iterative Tarjan; returns per-vertex scc label = min member id."""
+    adj = [[] for _ in range(n)]
+    for s, d in set(zip(src.tolist(), dst.tolist())):
+        if s != d:
+            adj[s].append(d)
+    index = [-1] * n
+    low = [0] * n
+    on_stack = [False] * n
+    stack = []
+    comp = [-1] * n
+    counter = 0
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack[v] = True
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if index[w] == -1:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    members.append(w)
+                    if w == v:
+                        break
+                m = min(members)
+                for w in members:
+                    comp[w] = m
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+    return comp
+
+
+def bowtie(src, dst, n):
+    """Broder bow-tie classes around the largest SCC (ties: min scc id).
+    Returns a list of 'CORE'/'IN'/'OUT'/'OTHER' per vertex."""
+    comp = strongly_connected_components(src, dst, n)
+    sizes = {}
+    for c in comp:
+        sizes[c] = sizes.get(c, 0) + 1
+    core_id = min(sizes, key=lambda c: (-sizes[c], c))
+    core = {v for v in range(n) if comp[v] == core_id}
+    fwd_adj = [[] for _ in range(n)]
+    bwd_adj = [[] for _ in range(n)]
+    for s, d in set(zip(src.tolist(), dst.tolist())):
+        if s != d:
+            fwd_adj[s].append(d)
+            bwd_adj[d].append(s)
+
+    def reach(seeds, adj):
+        seen = set(seeds)
+        frontier = list(seeds)
+        while frontier:
+            nxt = []
+            for v in frontier:
+                for u in adj[v]:
+                    if u not in seen:
+                        seen.add(u)
+                        nxt.append(u)
+            frontier = nxt
+        return seen
+
+    fwd = reach(core, fwd_adj)
+    bwd = reach(core, bwd_adj)
+    out = []
+    for v in range(n):
+        if v in core:
+            out.append("CORE")
+        elif v in bwd:
+            out.append("IN")
+        elif v in fwd:
+            out.append("OUT")
+        else:
+            out.append("OTHER")
+    return out
+
+
+def sssp(src, dst, w, n, sources):
+    """Bellman-Ford distances; inf for unreachable. Parallel edges: min."""
+    edges = {}
+    for s, d, ww in zip(src.tolist(), dst.tolist(), list(w)):
+        if s != d:
+            key = (s, d)
+            edges[key] = min(edges.get(key, float("inf")), float(ww))
+    dist = [float("inf")] * n
+    for s in set(sources):
+        dist[s] = 0.0
+    for _ in range(n):
+        changed = False
+        for (s, d), ww in edges.items():
+            if dist[s] + ww < dist[d]:
+                dist[d] = dist[s] + ww
+                changed = True
+        if not changed:
+            break
+    return dist
+
+
+def harmonic_centrality(src, dst, n, landmarks, directed=True):
+    """h(v) = sum over landmarks u != v with u -> v reachable of 1/d(u,v)."""
+    h = [0.0] * n
+    for lm in sorted(set(landmarks)):
+        d = bfs_distances(src, dst, n, [lm], directed=directed)
+        for v in range(n):
+            if v != lm and d[v] > 0:
+                h[v] += 1.0 / d[v]
+    return h

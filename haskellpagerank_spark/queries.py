@@ -678,6 +678,57 @@ def _q_kcore_nation(spark, sf_dir):
     return k_core(nation_trade_graph(spark, sf_dir), k=6).df
 
 
+def _q_clustering_nation(spark, sf_dir):
+    """Per-vertex local clustering coefficient over the undirected nation
+    trade graph (structure.clustering_coefficient)."""
+    from .operators.structure import clustering_coefficient
+    return clustering_coefficient(nation_trade_graph(spark, sf_dir)).select(
+        "id", "deg", "n_triangles", F.round("cc", 8).alias("cc"))
+
+
+def _q_cocitation_nation(spark, sf_dir):
+    """Co-citation pair counts (common in-citers per target pair) with the
+    citing-fanout hub guard (structure.cocitation)."""
+    from .operators.structure import cocitation
+    return cocitation(nation_trade_graph(spark, sf_dir), min_common=2)
+
+
+def _q_scc_nation(spark, sf_dir):
+    """Strongly connected components via trim + forward/backward min-label
+    rounds (structure.strongly_connected_components)."""
+    from .operators.structure import strongly_connected_components
+    return strongly_connected_components(nation_trade_graph(spark, sf_dir)).df
+
+
+def _q_bowtie_nation(spark, sf_dir):
+    """Broder bow-tie decomposition (CORE/IN/OUT/OTHER) around the largest
+    SCC (structure.bowtie)."""
+    from .operators.structure import bowtie
+    return bowtie(nation_trade_graph(spark, sf_dir)).df
+
+
+def _q_sssp_nation(spark, sf_dir):
+    """Weighted shortest paths from nation 0, Bellman-Ford supersteps with
+    a semi-naive frontier (structure.sssp). Deterministic per-edge weights
+    w = 1 + (src*31 + dst) % 7 so the DuckDB twin reproduces them."""
+    from .operators.structure import sssp
+    g = nation_trade_graph(spark, sf_dir)
+    we = g.edges.dropDuplicates(["src", "dst"]).select(
+        "src", "dst",
+        (F.lit(1.0) + (F.col("src") * 31 + F.col("dst")) % 7).alias("w"))
+    res = sssp(g, we, [0])
+    return res.df.select("id", F.round("dist", 6).alias("dist"))
+
+
+def _q_harmonic_nation(spark, sf_dir):
+    """Exact harmonic centrality (landmarks = all 25 nations) via one
+    multi-landmark BFS (structure.harmonic_centrality)."""
+    from .operators.structure import harmonic_centrality
+    g = nation_trade_graph(spark, sf_dir)
+    res = harmonic_centrality(g, list(range(g.num_vertices)), directed=True)
+    return res.df.select("id", F.round("harmonic", 8).alias("harmonic"))
+
+
 def _q_domain_linkgraph(spark, sf_dir):
     """Host-level rollup of the pages link graph — the web-scale move of
     aggregating a url graph (10^12 rows) to a domain graph (10^7 rows)
@@ -837,6 +888,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bfs_nation": _q_bfs_nation,
     "kcore_nation": _q_kcore_nation,
     "domain_linkgraph": _q_domain_linkgraph,
+    "clustering_nation": _q_clustering_nation,
+    "cocitation_nation": _q_cocitation_nation,
+    "scc_nation": _q_scc_nation,
+    "bowtie_nation": _q_bowtie_nation,
+    "sssp_nation": _q_sssp_nation,
+    "harmonic_nation": _q_harmonic_nation,
     "multimodal_metadata": _q_multimodal_metadata,
     "multimodal_features": _q_multimodal_features,
     "frame_sample_plan": _q_frame_sample_plan,
@@ -1151,6 +1208,14 @@ ORACLES: dict[str, str] = {
                              directed=True),
     "kcore_nation": SQ.k_core_sql(NATION_EDGES_SQL, NATION_VERTS_SQL,
                                   k=6, rounds=26),
+    "clustering_nation": SQ.clustering_sql(NATION_EDGES_SQL,
+                                           NATION_VERTS_SQL),
+    "cocitation_nation": SQ.cocitation_sql(NATION_EDGES_SQL, min_common=2),
+    "scc_nation": SQ.scc_sql(NATION_EDGES_SQL, NATION_VERTS_SQL),
+    "bowtie_nation": SQ.bowtie_sql(NATION_EDGES_SQL, NATION_VERTS_SQL),
+    "sssp_nation": SQ.sssp_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, [0],
+                               rounds=26),
+    "harmonic_nation": SQ.harmonic_sql(NATION_EDGES_SQL, NATION_VERTS_SQL),
     "domain_linkgraph": f"""
         WITH v AS (SELECT id,
                           regexp_extract(url, '^https?://([^/]+)/', 1) AS host

@@ -571,3 +571,154 @@ def k_core_sql(edges_sql: str, verts_sql: str, k: int, rounds: int) -> str:
         ]
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT id, deg FROM d{rounds} WHERE deg >= {k}")
+
+
+# ------------------------------------------------------ structure analytics
+# (engine extensions: clustering coefficient / co-citation / SCC / bow-tie /
+# SSSP / harmonic centrality — operators/structure.py; deterministic, so the
+# twins are direct SQL or exact unrollings)
+
+def clustering_sql(edges_sql: str, verts_sql: str, round_to: int = 8) -> str:
+    """Local clustering coefficient: degree + per-vertex triangle count over
+    the undirected simple graph (matches operators.structure
+    .clustering_coefficient)."""
+    return f"""
+        WITH e0 AS ({edges_sql}),
+        und AS (SELECT DISTINCT src, dst FROM
+                (SELECT src, dst FROM e0 WHERE src <> dst
+                 UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),
+        canon AS (SELECT src, dst FROM und WHERE src < dst),
+        tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                FROM canon e1 JOIN canon e2 ON e1.dst = e2.src
+                JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        stacked AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri),
+        cnt AS (SELECT id, COUNT(*) AS n FROM stacked GROUP BY 1),
+        deg AS (SELECT src AS id, COUNT(*) AS deg FROM und GROUP BY 1)
+        SELECT v.id, COALESCE(deg.deg, 0) AS deg,
+               COALESCE(cnt.n, 0) AS n_triangles,
+               ROUND(CASE WHEN COALESCE(deg.deg, 0) >= 2
+                     THEN 2.0 * COALESCE(cnt.n, 0)
+                          / (deg.deg * (deg.deg - 1))
+                     ELSE 0.0 END, {round_to}) AS cc
+        FROM ({verts_sql}) v
+        LEFT JOIN deg ON v.id = deg.id
+        LEFT JOIN cnt ON v.id = cnt.id
+    """
+
+
+def cocitation_sql(edges_sql: str, min_common: int = 1,
+                   max_fanout: int = 10_000) -> str:
+    """Co-citation pair counts with the citing-fanout hub guard (matches
+    operators.structure.cocitation)."""
+    return f"""
+        WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})
+                   WHERE src <> dst),
+        fan AS (SELECT src FROM e GROUP BY 1
+                HAVING COUNT(*) <= {max_fanout}),
+        ek AS (SELECT e.src, e.dst FROM e JOIN fan USING (src))
+        SELECT e1.dst AS a, e2.dst AS b, COUNT(*) AS common
+        FROM ek e1 JOIN ek e2
+          ON e1.src = e2.src AND e1.dst < e2.dst
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {min_common}
+    """
+
+
+def scc_sql(edges_sql: str, verts_sql: str) -> str:
+    """SCC labels via mutual reachability: reach(a, b) transitive closure,
+    scc(v) = min u with v ->* u and u ->* v (matches operators.structure
+    .strongly_connected_components; fixture scale only — the closure is
+    O(n^2) rows, fine for gate graphs)."""
+    return f"""
+        WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ({edges_sql})
+                             WHERE src <> dst),
+        reach(a, b) AS (
+            SELECT id, id FROM ({verts_sql})
+            UNION
+            SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+        )
+        SELECT r1.a AS id, MIN(r1.b) AS scc
+        FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+        GROUP BY 1
+    """
+
+
+def bowtie_sql(edges_sql: str, verts_sql: str) -> str:
+    """Bow-tie classes around the largest SCC (ties: min scc id); CORE /
+    IN (reaches core) / OUT (reached from core) / OTHER."""
+    return f"""
+        WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ({edges_sql})
+                             WHERE src <> dst),
+        reach(a, b) AS (
+            SELECT id, id FROM ({verts_sql})
+            UNION
+            SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+        ),
+        scc AS (
+            SELECT r1.a AS id, MIN(r1.b) AS scc
+            FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+            GROUP BY 1
+        ),
+        core_id AS (SELECT scc FROM scc GROUP BY scc
+                    ORDER BY COUNT(*) DESC, scc LIMIT 1),
+        core AS (SELECT id FROM scc WHERE scc = (SELECT scc FROM core_id)),
+        fwd AS (SELECT DISTINCT r.b AS id FROM reach r
+                JOIN core c ON r.a = c.id),
+        bwd AS (SELECT DISTINCT r.a AS id FROM reach r
+                JOIN core c ON r.b = c.id)
+        SELECT v.id,
+               CASE WHEN v.id IN (SELECT id FROM core) THEN 'CORE'
+                    WHEN v.id IN (SELECT id FROM bwd) THEN 'IN'
+                    WHEN v.id IN (SELECT id FROM fwd) THEN 'OUT'
+                    ELSE 'OTHER' END AS component
+        FROM ({verts_sql}) v
+    """
+
+
+def sssp_sql(edges_sql: str, verts_sql: str, sources: list[int],
+             rounds: int, round_to: int = 6) -> str:
+    """Unrolled Bellman-Ford over deterministic weights
+    w = 1 + (src*31 + dst) % 7 (matches queries._q_sssp_nation); ``rounds``
+    >= |V| guarantees the fixpoint. Reached vertices only."""
+    src_list = ", ".join(str(int(s)) for s in sorted(set(sources)))
+    ctes = [
+        f"w AS MATERIALIZED (SELECT src, dst, "
+        "1.0 + (src * 31 + dst) % 7 AS w "
+        f"FROM (SELECT DISTINCT src, dst FROM ({edges_sql}) "
+        "WHERE src <> dst))",
+        f"d0 AS MATERIALIZED (SELECT id, 0.0 AS d FROM ({verts_sql}) "
+        f"WHERE id IN ({src_list}))",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT id, MIN(d) AS d FROM ("
+            f"SELECT id, d FROM d{p} "
+            f"UNION ALL "
+            f"SELECT w.dst AS id, d{p}.d + w.w AS d "
+            f"FROM d{p} JOIN w ON w.src = d{p}.id) GROUP BY 1)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, ROUND(d, {round_to}) AS dist FROM d{rounds}")
+
+
+def harmonic_sql(edges_sql: str, verts_sql: str, round_to: int = 8,
+                 max_depth: int = 50) -> str:
+    """Exact harmonic centrality (landmarks = all vertices) via one
+    multi-landmark recursive BFS; h(v) = sum over u != v reaching v of
+    1/d(u, v) (matches operators.structure.harmonic_centrality)."""
+    return f"""
+        WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ({edges_sql})
+                             WHERE src <> dst),
+        r(lm, id, d) AS (
+            SELECT id, id, CAST(0 AS BIGINT) FROM ({verts_sql})
+            UNION
+            SELECT r.lm, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id
+            WHERE r.d < {max_depth}
+        ),
+        m AS (SELECT lm, id, MIN(d) AS d FROM r GROUP BY 1, 2),
+        h AS (SELECT id, SUM(1.0 / d) AS harmonic FROM m
+              WHERE d > 0 GROUP BY 1)
+        SELECT v.id, ROUND(COALESCE(h.harmonic, 0.0), {round_to}) AS harmonic
+        FROM ({verts_sql}) v LEFT JOIN h ON v.id = h.id
+    """

@@ -1,0 +1,136 @@
+"""Structure analytics (clustering coefficient, co-citation, SCC, bow-tie,
+SSSP, harmonic centrality) vs the NumPy oracle on the reference fixture
+graphs (FIXTURES.md). Engine extensions — textbook semantics, deterministic,
+exact-matchable."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from haskellpagerank_spark import oracle
+from haskellpagerank_spark.fixtures import FIXTURE_EDGES
+from haskellpagerank_spark.operators.graph import from_pairs
+from haskellpagerank_spark.operators.structure import (
+    bibliographic_coupling, bowtie, clustering_coefficient, cocitation,
+    harmonic_centrality, sssp, strongly_connected_components,
+)
+
+FIXTURES = sorted(n for n, e in FIXTURE_EDGES.items() if len(e) >= 4)
+
+
+def _arrays(name):
+    return oracle.parse_edges(FIXTURE_EDGES[name])
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_clustering_coefficient_matches_oracle(spark, name):
+    src, dst, n = _arrays(name)
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    got = {r["id"]: (r["deg"], r["n_triangles"], r["cc"])
+           for r in clustering_coefficient(g).collect()}
+    deg, tri, cc = oracle.clustering_coefficient(src, dst, n)
+    assert set(got) == set(range(n))
+    for v in range(n):
+        assert got[v][0] == deg[v]
+        assert got[v][1] == tri[v]
+        assert got[v][2] == pytest.approx(cc[v], abs=1e-12)
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_cocitation_matches_oracle(spark, name):
+    src, dst, n = _arrays(name)
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    got = {(r["a"], r["b"]): r["common"]
+           for r in cocitation(g).collect()}
+    assert got == oracle.cocitation(src, dst, n)
+
+
+def test_cocitation_hub_guard(spark):
+    # star source 0 -> 1..5 exceeds max_fanout=3 and is dropped; source 6
+    # cites {1, 2} and survives
+    pairs = [(0, i) for i in range(1, 6)] + [(6, 1), (6, 2)]
+    g = from_pairs(spark, pairs)
+    got = {(r["a"], r["b"]): r["common"]
+           for r in cocitation(g, max_fanout=3).collect()}
+    assert got == {(1, 2): 1}
+
+
+def test_bibliographic_coupling(spark):
+    # 1 and 2 both cite {3, 4}; 5 cites only 3
+    pairs = [(1, 3), (1, 4), (2, 3), (2, 4), (5, 3)]
+    g = from_pairs(spark, pairs)
+    got = {(r["a"], r["b"]): r["common"]
+           for r in bibliographic_coupling(g).collect()}
+    assert got == {(1, 2): 2, (1, 5): 1, (2, 5): 1}
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_scc_matches_oracle(spark, name):
+    src, dst, n = _arrays(name)
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    res = strongly_connected_components(g)
+    got = {r["id"]: r["scc"] for r in res.df.collect()}
+    want = oracle.strongly_connected_components(src, dst, n)
+    assert got == {v: want[v] for v in range(n)}
+
+
+def test_scc_two_cycles_and_bridge(spark):
+    # cycle {0,1,2} -> bridge -> cycle {3,4}; 5 isolated-ish tail
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 3), (4, 5)]
+    g = from_pairs(spark, pairs)
+    got = {r["id"]: r["scc"]
+           for r in strongly_connected_components(g).df.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_bowtie_matches_oracle(spark, name):
+    src, dst, n = _arrays(name)
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    got = {r["id"]: r["component"] for r in bowtie(g).df.collect()}
+    want = oracle.bowtie(src, dst, n)
+    assert got == {v: want[v] for v in range(n)}
+
+
+def test_bowtie_classic_shape(spark):
+    # IN(0) -> CORE{1,2,3} -> OUT(4); 5 disconnected
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 1), (3, 4), (5, 6)]
+    g = from_pairs(spark, pairs)
+    got = {r["id"]: r["component"] for r in bowtie(g).df.collect()}
+    assert got[0] == "IN" and got[4] == "OUT"
+    assert got[1] == got[2] == got[3] == "CORE"
+    assert got[5] == "OTHER" and got[6] == "OTHER"
+
+
+def _weights(src, dst):
+    return [1.0 + (int(s) * 31 + int(d)) % 7 for s, d in zip(src, dst)]
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_sssp_matches_oracle(spark, name):
+    src, dst, n = _arrays(name)
+    w = _weights(src, dst)
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    we = g.spark.createDataFrame(
+        [(int(s), int(d), float(x)) for s, d, x in zip(src, dst, w)],
+        "src long, dst long, w double")
+    res = sssp(g, we, [0])
+    got = {r["id"]: r["dist"] for r in res.df.collect()}
+    want = oracle.sssp(src, dst, w, n, [0])
+    assert got == {v: pytest.approx(want[v], abs=1e-9)
+                   for v in range(n) if want[v] != float("inf")}
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+@pytest.mark.parametrize("directed", [True, False])
+def test_harmonic_matches_oracle(spark, name, directed):
+    src, dst, n = _arrays(name)
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    res = harmonic_centrality(g, list(range(n)), directed=directed)
+    got = {r["id"]: r["harmonic"] for r in res.df.collect()}
+    want = oracle.harmonic_centrality(src, dst, n, list(range(n)),
+                                      directed=directed)
+    assert set(got) == set(range(n))
+    np.testing.assert_allclose(
+        np.array([got[v] for v in range(n)]), np.array(want), atol=1e-9)
