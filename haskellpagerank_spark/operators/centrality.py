@@ -205,6 +205,19 @@ def bfs_distances(g: Graph, sources: list[int],
     """
     if not sources:
         raise ValueError("bfs_distances needs at least one source")
+    src_set = sorted({int(s) for s in sources})
+    seeds = g.spark.createDataFrame([(s,) for s in src_set], "id long")
+    return bfs_distances_from(g, seeds, directed=directed,
+                              max_depth=max_depth)
+
+
+def bfs_distances_from(g: Graph, seeds: DataFrame,
+                       directed: bool = True,
+                       max_depth: int = 200) -> CentralityResult:
+    """`bfs_distances` seeded from a DataFrame (id) instead of a driver-side
+    list — the scale path: a seed set of any size (e.g. a whole SCC in
+    bowtie) stays distributed, never a collect or an ``isin`` plan literal.
+    """
     spark = g.spark
     shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     e = g.edges.dropDuplicates(["src", "dst"])
@@ -213,9 +226,8 @@ def bfs_distances(g: Graph, sources: list[int],
     e = e.repartition(shuffle_p, "src").persist()
     e.count()
 
-    src_set = sorted({int(s) for s in sources})
     dist = (
-        g.vertices().where(F.col("id").isin(src_set))
+        g.vertices().join(seeds.select("id"), "id", "left_semi")
         .select("id", F.lit(0).cast("long").alias("dist"))
         .repartition(shuffle_p, "id")
         .localCheckpoint(eager=True)

@@ -264,7 +264,7 @@ def bowtie(g: Graph, scc_labels: DataFrame | None = None) -> StructureResult:
     OTHER = everything else (tendrils, tubes, disconnected). Reachability =
     two multi-source BFS passes seeded with the whole CORE.
     """
-    from .centrality import bfs_distances
+    from .centrality import bfs_distances_from
 
     res_scc = None
     if scc_labels is None:
@@ -276,12 +276,14 @@ def bowtie(g: Graph, scc_labels: DataFrame | None = None) -> StructureResult:
         .first()
     )
     core_scc = int(core_id_row["scc"])
-    core = scc_labels.where(F.col("scc") == core_scc).select("id")
-    core_ids = [int(r["id"]) for r in core.collect()]
+    # the giant SCC stays a DataFrame end-to-end — at web scale CORE is
+    # O(|V|) rows and must never be collected or inlined as plan literals
+    core = scc_labels.where(F.col("scc") == core_scc).select("id") \
+        .localCheckpoint(eager=True)
 
-    fwd = bfs_distances(g, core_ids, directed=True).df.select("id")
-    back = bfs_distances(g.with_edges(invert(g.edges)), core_ids,
-                         directed=True).df.select("id")
+    fwd = bfs_distances_from(g, core, directed=True).df.select("id")
+    back = bfs_distances_from(g.with_edges(invert(g.edges)), core,
+                              directed=True).df.select("id")
     out = (
         g.vertices()
         .join(core.withColumn("c", F.lit(True)), "id", "left")
@@ -395,8 +397,9 @@ def harmonic_centrality(g: Graph, landmarks: list[int],
     e.count()
 
     lm_set = sorted({int(s) for s in landmarks})
+    lm_df = spark.createDataFrame([(s,) for s in lm_set], "id long")
     dist = (
-        g.vertices().where(F.col("id").isin(lm_set))
+        g.vertices().join(lm_df, "id", "left_semi")
         .select(F.col("id").alias("lm"), "id",
                 F.lit(0).cast("long").alias("d"))
         .repartition(shuffle_p, "lm", "id")
