@@ -159,6 +159,20 @@ def main() -> None:
     queries["pages_pagerank_5"] = round(time.monotonic() - t0 - t_extract, 3)
     extra["pages_n_edges"] = n_page_edges
 
+    # -- structure analytics on the same pages graph: SCC (trim + FW/BW
+    #    min-label) and the Broder bow-tie decomposition seeded from it
+    from haskellpagerank_spark.operators.structure import (
+        bowtie, strongly_connected_components)
+    t0 = time.monotonic()
+    scc_res = strongly_connected_components(pg)
+    _consume(scc_res.df)
+    queries["pages_scc"] = round(time.monotonic() - t0, 3)
+    extra["scc_rounds"] = scc_res.iterations
+    t0 = time.monotonic()
+    bt = bowtie(pg, scc_res.df)
+    _consume(bt.df)
+    queries["pages_bowtie"] = round(time.monotonic() - t0, 3)
+
     # -- bigger-scale skew point: ~10M edges, 10 mega-hubs holding ~20% of
     #    all in-edges (~200k each) — far past the salting threshold, so this
     #    exercises hub salting in build_csr_blocks and AQE skew handling for

@@ -442,3 +442,71 @@ def harmonic_centrality(g: Graph, landmarks: list[int],
         .select("id", F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"))
     )
     return StructureResult(df=out, iterations=depth, metrics=metrics)
+
+
+# --------------------------------------------------- Adamic-Adar prediction
+
+def adamic_adar(g: Graph, min_common: int = 1,
+                max_fanout: int = 10_000) -> DataFrame:
+    """Adamic–Adar link-prediction scores over the undirected simple graph:
+    for each non-adjacent-or-adjacent pair (a, b), a < b,
+    score = sum over common neighbors z of 1 / ln(deg(z)).
+
+    The pair expansion fans out quadratically in each middle vertex z's
+    degree, so z with deg > ``max_fanout`` are excluded from expansion (the
+    standard guard; their 1/ln(deg) weight is negligible by construction —
+    that is the whole point of the Adamic–Adar discount). Degrees are
+    computed on the FULL graph before the guard, so surviving weights are
+    unbiased. Returns (a, b, common, score).
+    """
+    und = undirected_simple_edges(g)
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    mid = (
+        und.join(deg.withColumnRenamed("id", "src")
+                 .withColumnRenamed("deg", "zdeg"), "src")
+        .where(F.col("zdeg") <= max_fanout)
+        .where(F.col("zdeg") >= 2)
+    )
+    m1, m2 = mid.alias("m1"), mid.alias("m2")
+    pairs = (
+        m1.join(m2, F.col("m1.src") == F.col("m2.src"))
+        .where(F.col("m1.dst") < F.col("m2.dst"))
+        .groupBy(F.col("m1.dst").alias("a"), F.col("m2.dst").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"),
+             F.sum(1.0 / F.log(F.col("m1.zdeg"))).alias("score"))
+        .where(F.col("common") >= min_common)
+    )
+    return pairs
+
+
+# ------------------------------------------------------------ graph summary
+
+def graph_summary(g: Graph) -> DataFrame:
+    """One-row dashboard of web-graph shape metrics: vertex/edge counts,
+    sink count, degree extremes, and reciprocity (fraction of directed
+    simple edges whose reverse edge also exists — the classic crawl health
+    metric). All plain aggregates + one self-semi-join; no collect."""
+    e = g.edges.where(F.col("src") != F.col("dst")) \
+        .dropDuplicates(["src", "dst"])
+    n_edges_simple = e.count()
+    recip = e.join(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"], "left_semi").count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg_stats = deg.agg(
+        F.max("deg").alias("max_out_deg"),
+        F.count(F.lit(1)).alias("n_nonsink")).first()
+    spark = g.spark
+    return spark.createDataFrame(
+        [(
+            g.num_vertices,
+            n_edges_simple,
+            g.num_vertices - int(deg_stats["n_nonsink"]),
+            int(deg_stats["max_out_deg"] or 0),
+            round(n_edges_simple / max(g.num_vertices, 1), 8),
+            round(recip / max(n_edges_simple, 1), 8),
+        )],
+        "n_vertices long, n_edges long, n_sinks long, max_out_deg long, "
+        "avg_out_deg double, reciprocity double",
+    )

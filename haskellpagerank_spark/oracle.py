@@ -549,3 +549,43 @@ def harmonic_centrality(src, dst, n, landmarks, directed=True):
             if v != lm and d[v] > 0:
                 h[v] += 1.0 / d[v]
     return h
+
+
+def adamic_adar(src, dst, n, min_common=1, max_fanout=10_000):
+    """{(a, b): (common, score)} over the undirected simple graph; score =
+    sum 1/ln(deg(z)) over common neighbors z with 2 <= deg(z) <= max_fanout
+    (degrees from the full graph)."""
+    nbrs = [set() for _ in range(n)]
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    out = {}
+    for z in range(n):
+        dz = len(nbrs[z])
+        if dz < 2 or dz > max_fanout:
+            continue
+        ns = sorted(nbrs[z])
+        wz = 1.0 / np.log(dz)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                key = (ns[i], ns[j])
+                c, s_ = out.get(key, (0, 0.0))
+                out[key] = (c + 1, s_ + wz)
+    return {k: v for k, v in out.items() if v[0] >= min_common}
+
+
+def graph_summary(src, dst, n):
+    """(n_vertices, n_edges_simple, n_sinks, max_out_deg, avg_out_deg,
+    reciprocity) over the simple directed graph."""
+    e = {(s, d) for s, d in zip(src.tolist(), dst.tolist()) if s != d}
+    outdeg = {}
+    for s, _ in e:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    recip = sum(1 for s, d in e if (d, s) in e)
+    return (
+        n, len(e), n - len(outdeg),
+        max(outdeg.values()) if outdeg else 0,
+        round(len(e) / max(n, 1), 8),
+        round(recip / max(len(e), 1), 8),
+    )

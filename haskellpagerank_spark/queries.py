@@ -729,6 +729,21 @@ def _q_harmonic_nation(spark, sf_dir):
     return res.df.select("id", F.round("harmonic", 8).alias("harmonic"))
 
 
+def _q_adamic_adar_nation(spark, sf_dir):
+    """Adamic-Adar link-prediction scores over the undirected nation graph
+    (structure.adamic_adar)."""
+    from .operators.structure import adamic_adar
+    return adamic_adar(nation_trade_graph(spark, sf_dir)).select(
+        "a", "b", "common", F.round("score", 8).alias("score"))
+
+
+def _q_graph_summary_nation(spark, sf_dir):
+    """One-row web-graph shape dashboard incl. reciprocity
+    (structure.graph_summary)."""
+    from .operators.structure import graph_summary
+    return graph_summary(nation_trade_graph(spark, sf_dir))
+
+
 def _q_domain_linkgraph(spark, sf_dir):
     """Host-level rollup of the pages link graph — the web-scale move of
     aggregating a url graph (10^12 rows) to a domain graph (10^7 rows)
@@ -894,6 +909,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bowtie_nation": _q_bowtie_nation,
     "sssp_nation": _q_sssp_nation,
     "harmonic_nation": _q_harmonic_nation,
+    "adamic_adar_nation": _q_adamic_adar_nation,
+    "graph_summary_nation": _q_graph_summary_nation,
     "multimodal_metadata": _q_multimodal_metadata,
     "multimodal_features": _q_multimodal_features,
     "frame_sample_plan": _q_frame_sample_plan,
@@ -1216,6 +1233,9 @@ ORACLES: dict[str, str] = {
     "sssp_nation": SQ.sssp_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, [0],
                                rounds=26),
     "harmonic_nation": SQ.harmonic_sql(NATION_EDGES_SQL, NATION_VERTS_SQL),
+    "adamic_adar_nation": SQ.adamic_adar_sql(NATION_EDGES_SQL),
+    "graph_summary_nation": SQ.graph_summary_sql(NATION_EDGES_SQL,
+                                                 NATION_VERTS_SQL),
     "domain_linkgraph": f"""
         WITH v AS (SELECT id,
                           regexp_extract(url, '^https?://([^/]+)/', 1) AS host

@@ -722,3 +722,51 @@ def harmonic_sql(edges_sql: str, verts_sql: str, round_to: int = 8,
         SELECT v.id, ROUND(COALESCE(h.harmonic, 0.0), {round_to}) AS harmonic
         FROM ({verts_sql}) v LEFT JOIN h ON v.id = h.id
     """
+
+
+def adamic_adar_sql(edges_sql: str, min_common: int = 1,
+                    max_fanout: int = 10_000, round_to: int = 8) -> str:
+    """Adamic–Adar pair scores over the undirected simple graph; middles
+    with deg < 2 or deg > max_fanout excluded, degrees from the full graph
+    (matches operators.structure.adamic_adar)."""
+    return f"""
+        WITH e0 AS ({edges_sql}),
+        und AS (SELECT DISTINCT src, dst FROM
+                (SELECT src, dst FROM e0 WHERE src <> dst
+                 UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),
+        deg AS (SELECT src AS id, COUNT(*) AS deg FROM und GROUP BY 1),
+        mid AS (SELECT u.src, u.dst, d.deg AS zdeg
+                FROM und u JOIN deg d ON u.src = d.id
+                WHERE d.deg BETWEEN 2 AND {max_fanout})
+        SELECT m1.dst AS a, m2.dst AS b, COUNT(*) AS common,
+               ROUND(SUM(1.0 / ln(m1.zdeg)), {round_to}) AS score
+        FROM mid m1 JOIN mid m2
+          ON m1.src = m2.src AND m1.dst < m2.dst
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {min_common}
+    """
+
+
+def graph_summary_sql(edges_sql: str, verts_sql: str,
+                      round_to: int = 8) -> str:
+    """One-row graph shape dashboard (matches operators.structure
+    .graph_summary)."""
+    return f"""
+        WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})
+                   WHERE src <> dst),
+        v AS (SELECT COUNT(*) AS n FROM ({verts_sql})),
+        deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+        r AS (SELECT COUNT(*) AS n FROM e
+              WHERE EXISTS (SELECT 1 FROM e e2
+                            WHERE e2.src = e.dst AND e2.dst = e.src))
+        SELECT (SELECT n FROM v) AS n_vertices,
+               (SELECT COUNT(*) FROM e) AS n_edges,
+               (SELECT n FROM v) - (SELECT COUNT(*) FROM deg) AS n_sinks,
+               COALESCE((SELECT MAX(deg) FROM deg), 0) AS max_out_deg,
+               ROUND((SELECT COUNT(*) FROM e)
+                     / GREATEST(CAST((SELECT n FROM v) AS DOUBLE), 1),
+                     {round_to}) AS avg_out_deg,
+               ROUND((SELECT n FROM r)
+                     / GREATEST(CAST((SELECT COUNT(*) FROM e) AS DOUBLE), 1),
+                     {round_to}) AS reciprocity
+    """

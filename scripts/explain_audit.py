@@ -211,6 +211,60 @@ def main() -> int:
         must_not=["BatchEvalPython", "ArrowEvalPython", "n_chars"],
     )
 
+    # 10. SCC min-label sweep: edge join + partial->final min agg — the
+    #     same bounded-shuffle shape as the PageRank superstep
+    lbls = g.vertices().select("id", F.col("id").alias("lbl"))
+    scc_msgs = (
+        g.edges.join(lbls.withColumnRenamed("id", "src")
+                     .withColumnRenamed("lbl", "mlbl"), "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.min("mlbl").alias("mlbl"))
+    )
+    audit(
+        "SCC min-label sweep — join + two-phase min agg, catalyst-only",
+        scc_msgs,
+        must=["HashAggregate", "Exchange", "WholeStageCodegen"],
+        must_not=["BatchEvalPython", "ArrowEvalPython"],
+    )
+
+    # 11. co-citation: fanout-guard semi-join, then a self-equi-join on the
+    #     citing key (never a cartesian) + two-phase count agg
+    from haskellpagerank_spark.operators.structure import cocitation
+    audit(
+        "cocitation(nation) — guarded self-equi-join + two-phase agg",
+        cocitation(nation_trade_graph(spark, sf_dir)),
+        must=["HashAggregate"],
+        must_not=["BatchEvalPython", "CartesianProduct"],
+    )
+
+    # 12. clustering coefficient: degree-oriented triangle join + degree
+    #     agg + |V| left joins — catalyst-only
+    from haskellpagerank_spark.operators.structure import (
+        clustering_coefficient)
+    audit(
+        "clustering_coefficient(nation) — triangle numerator, catalyst-only",
+        clustering_coefficient(nation_trade_graph(spark, sf_dir)),
+        must=["HashAggregate"],
+        must_not=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+    )
+
+    # 13. multi-landmark BFS frontier expansion: equi-join + dedup +
+    #     anti-join against the visited set — all shuffles on (lm, id) keys
+    frontier = g.vertices().limit(4).select(
+        F.col("id").alias("lm"), "id", F.lit(0).cast("long").alias("d"))
+    expanded = (
+        g.edges.join(frontier.withColumnRenamed("id", "src"), "src")
+        .select("lm", F.col("dst").alias("id"))
+        .dropDuplicates(["lm", "id"])
+        .join(frontier.select("lm", "id"), ["lm", "id"], "left_anti")
+    )
+    audit(
+        "multi-landmark BFS expansion — equi-joins + dedup, catalyst-only",
+        expanded,
+        must=["HashAggregate"],
+        must_not=["BatchEvalPython", "CartesianProduct"],
+    )
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

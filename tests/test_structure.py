@@ -134,3 +134,45 @@ def test_harmonic_matches_oracle(spark, name, directed):
     assert set(got) == set(range(n))
     np.testing.assert_allclose(
         np.array([got[v] for v in range(n)]), np.array(want), atol=1e-9)
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_adamic_adar_matches_oracle(spark, name):
+    from haskellpagerank_spark.operators.structure import adamic_adar
+    src, dst, n = _arrays(name)
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    got = {(r["a"], r["b"]): (r["common"], r["score"])
+           for r in adamic_adar(g).collect()}
+    want = oracle.adamic_adar(src, dst, n)
+    assert set(got) == set(want)
+    for k, (c, s) in want.items():
+        assert got[k][0] == c
+        assert got[k][1] == pytest.approx(s, abs=1e-9)
+
+
+def test_adamic_adar_hub_guard(spark):
+    from haskellpagerank_spark.operators.structure import adamic_adar
+    # hub 0 adjacent to 1..6 (deg 6 > max_fanout=5, excluded as middle);
+    # 1-2-3 triangle provides guarded middles
+    pairs = [(0, i) for i in range(1, 7)] + [(1, 2), (2, 3), (1, 3)]
+    g = from_pairs(spark, pairs)
+    got = {(r["a"], r["b"]): r["common"]
+           for r in adamic_adar(g, max_fanout=5).collect()}
+    src, dst, n = oracle.parse_edges(pairs)
+    want = {k: v[0] for k, v in
+            oracle.adamic_adar(src, dst, n, max_fanout=5).items()}
+    assert got == want
+    # the hub never appears as a middle: pairs among 4..6 are absent
+    assert (4, 5) not in got and (5, 6) not in got
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_graph_summary_matches_oracle(spark, name):
+    from haskellpagerank_spark.operators.structure import graph_summary
+    src, dst, n = _arrays(name)
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    row = graph_summary(g).first()
+    want = oracle.graph_summary(src, dst, n)
+    got = (row["n_vertices"], row["n_edges"], row["n_sinks"],
+           row["max_out_deg"], row["avg_out_deg"], row["reciprocity"])
+    assert got == pytest.approx(want, abs=1e-9)
