@@ -589,3 +589,31 @@ def graph_summary(src, dst, n):
         round(len(e) / max(n, 1), 8),
         round(recip / max(len(e), 1), 8),
     )
+
+
+def random_walks(src, dst, n, walk_length=5, walks_per_vertex=1, seed=42):
+    """Deterministic md5-chooser walks (operators/walks.py). Returns
+    {(walk_id, step): vertex}; step 0 = start, sinks stop early."""
+    import hashlib
+
+    adj = {}
+    for s, d in set(zip(src.tolist(), dst.tolist())):
+        if s != d:
+            adj.setdefault(s, []).append(d)
+    for s in adj:
+        adj[s].sort()
+    out = {}
+    for v in range(n):
+        for k in range(walks_per_vertex):
+            wid = v * walks_per_vertex + k
+            cur = v
+            out[(wid, 0)] = cur
+            for step in range(1, walk_length + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                h = int(hashlib.md5(
+                    f"{seed}|{wid}|{step}".encode()).hexdigest()[:15], 16)
+                cur = nbrs[h % len(nbrs)]
+                out[(wid, step)] = cur
+    return out

@@ -744,6 +744,20 @@ def _q_graph_summary_nation(spark, sf_dir):
     return graph_summary(nation_trade_graph(spark, sf_dir))
 
 
+def _walks_sql_twin() -> str:
+    from .operators.walks import walks_sql
+    return walks_sql(NATION_EDGES_SQL, NATION_VERTS_SQL,
+                     walk_length=5, walks_per_vertex=2)
+
+
+def _q_walks_nation(spark, sf_dir):
+    """Deterministic DeepWalk-style corpus: 2 walks of 5 steps per nation,
+    md5-chooser next-hop (operators/walks.py — cross-engine reproducible)."""
+    from .operators.walks import random_walks
+    return random_walks(nation_trade_graph(spark, sf_dir),
+                        walk_length=5, walks_per_vertex=2)
+
+
 def _q_domain_linkgraph(spark, sf_dir):
     """Host-level rollup of the pages link graph — the web-scale move of
     aggregating a url graph (10^12 rows) to a domain graph (10^7 rows)
@@ -911,6 +925,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "harmonic_nation": _q_harmonic_nation,
     "adamic_adar_nation": _q_adamic_adar_nation,
     "graph_summary_nation": _q_graph_summary_nation,
+    "walks_nation": _q_walks_nation,
     "multimodal_metadata": _q_multimodal_metadata,
     "multimodal_features": _q_multimodal_features,
     "frame_sample_plan": _q_frame_sample_plan,
@@ -1236,6 +1251,7 @@ ORACLES: dict[str, str] = {
     "adamic_adar_nation": SQ.adamic_adar_sql(NATION_EDGES_SQL),
     "graph_summary_nation": SQ.graph_summary_sql(NATION_EDGES_SQL,
                                                  NATION_VERTS_SQL),
+    "walks_nation": _walks_sql_twin(),
     "domain_linkgraph": f"""
         WITH v AS (SELECT id,
                           regexp_extract(url, '^https?://([^/]+)/', 1) AS host
