@@ -787,6 +787,18 @@ def _q_domain_linkgraph(spark, sf_dir):
     return rolled
 
 
+def _q_anchor_text_index(spark, sf_dir):
+    """Incoming anchor-text index over the deterministic pages crawl —
+    (dst_url, anchor, cnt) with cnt >= 2. The raw pages go to a parquet
+    handoff so the DuckDB twin re-extracts anchors independently with its
+    own regexp engine (a genuine second implementation, not a replay)."""
+    from .sources.pages import anchor_text_index, generate_pages
+    pages = generate_pages(spark, num_pages=2000, seed=42, avg_links=6)
+    pages.select("url", "html").write.mode("overwrite").parquet(
+        f"{SQ.HANDOFF_DIR}/anchor_pages.parquet")
+    return anchor_text_index(pages, min_count=2)
+
+
 def _q_multimodal_metadata(spark, sf_dir):
     from .functions.multimodal import attach_media_metadata
     return attach_media_metadata(_media(spark, sf_dir)).select(
@@ -926,6 +938,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "adamic_adar_nation": _q_adamic_adar_nation,
     "graph_summary_nation": _q_graph_summary_nation,
     "walks_nation": _q_walks_nation,
+    "anchor_text_index": _q_anchor_text_index,
     "multimodal_metadata": _q_multimodal_metadata,
     "multimodal_features": _q_multimodal_features,
     "frame_sample_plan": _q_frame_sample_plan,
@@ -1252,6 +1265,20 @@ ORACLES: dict[str, str] = {
     "graph_summary_nation": SQ.graph_summary_sql(NATION_EDGES_SQL,
                                                  NATION_VERTS_SQL),
     "walks_nation": _walks_sql_twin(),
+    "anchor_text_index": f"""
+        WITH a AS (
+            SELECT t.z[1] AS dst_url, t.z[2] AS anchor
+            FROM read_parquet(
+                '{SQ.HANDOFF_DIR}/anchor_pages.parquet/*.parquet') p,
+            UNNEST(list_zip(
+                regexp_extract_all(decode(p.html),
+                    '<a href="([^"]*)">([^<]*)</a>', 1),
+                regexp_extract_all(decode(p.html),
+                    '<a href="([^"]*)">([^<]*)</a>', 2))) AS t(z)
+        )
+        SELECT dst_url, anchor, COUNT(*) AS cnt FROM a
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
     "domain_linkgraph": f"""
         WITH v AS (SELECT id,
                           regexp_extract(url, '^https?://([^/]+)/', 1) AS host

@@ -338,3 +338,46 @@ def build_graph(pages: DataFrame) -> tuple[Graph, DataFrame]:
     edges = encode_edges(raw, vertices).localCheckpoint(eager=True)
     raw.unpersist()
     return from_edge_df(edges, num_vertices=n), vertices
+
+
+_ANCHOR_RE = r'<a href="([^"]*)">([^<]*)</a>'
+
+
+def extract_anchors(pages: DataFrame) -> DataFrame:
+    """(src_url, dst_url, anchor): one row per anchor-tag occurrence in
+    ``html`` — the href target plus its visible anchor text. Same vectorized
+    extractall shape as extract_links (Arrow batches, no per-row Python);
+    anchor text is the classic incoming-link relevance signal a search
+    pipeline aggregates per target page."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            html = b["html"].str.decode("utf-8")  # vectorized, no per-row Python
+            hits = html.str.extractall(_ANCHOR_RE)
+            if hits.empty:
+                yield pd.DataFrame(
+                    {"src_url": [], "dst_url": [], "anchor": []}
+                ).astype("str")
+                continue
+            src = b["url"].iloc[hits.index.get_level_values(0)].to_numpy()
+            yield pd.DataFrame({"src_url": src,
+                                "dst_url": hits[0].to_numpy(),
+                                "anchor": hits[1].to_numpy()})
+
+    return pages.select("url", "html").mapInPandas(
+        kernel, schema="src_url string, dst_url string, anchor string"
+    )
+
+
+def anchor_text_index(pages: DataFrame, min_count: int = 1) -> DataFrame:
+    """Incoming anchor-text index: (dst_url, anchor, cnt) — how often each
+    anchor term points at each target across the crawl. The aggregation is
+    a plain two-phase count keyed on (dst_url, anchor); at web scale the
+    shuffle carries (url, term, partial-count) triples, never html."""
+    from pyspark.sql import functions as F
+    return (
+        extract_anchors(pages)
+        .groupBy("dst_url", "anchor")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )

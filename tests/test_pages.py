@@ -104,3 +104,31 @@ def test_vectorized_generator_matches_rowwise_reference():
         assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
     assert all(x == y for x, y in zip(a["html"], b["html"]))
     assert (a["warc_ts"].to_numpy() == b["warc_ts"].to_numpy()).all()
+
+
+def test_extract_anchors_matches_links_and_text(spark):
+    """Every anchor row aligns with extract_links (same multiset of
+    (src, dst)) and the anchor text is the generator's vocab word for the
+    target page."""
+    from haskellpagerank_spark.sources.pages import (
+        extract_anchors, extract_links, generate_pages)
+    pages = generate_pages(spark, num_pages=200, seed=7, avg_links=5)
+    anchors = extract_anchors(pages).collect()
+    links = extract_links(pages).collect()
+    assert sorted((r["src_url"], r["dst_url"]) for r in anchors) \
+        == sorted((r["src_url"], r["dst_url"]) for r in links)
+    assert all(r["anchor"] for r in anchors)
+
+
+def test_anchor_text_index_counts(spark):
+    from haskellpagerank_spark.sources.pages import (
+        anchor_text_index, extract_anchors, generate_pages)
+    pages = generate_pages(spark, num_pages=200, seed=7, avg_links=5)
+    rows = extract_anchors(pages).collect()
+    want = {}
+    for r in rows:
+        k = (r["dst_url"], r["anchor"])
+        want[k] = want.get(k, 0) + 1
+    got = {(r["dst_url"], r["anchor"]): r["cnt"]
+           for r in anchor_text_index(pages).collect()}
+    assert got == want
