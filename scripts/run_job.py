@@ -26,6 +26,10 @@ Methods (determineMethod, Main.hs:75-85 + north-rule additions):
   cc          connected components (auto-tiered; join path if checkpointing)
   lp          label propagation (auto-tiered; join path if checkpointing)
   triangles   triangle count
+  scc / bowtie / hits / kcore / clustering / summary / walks
+              structure + centrality extensions (operators/structure.py,
+              centrality.py, walks.py); --num-iters doubles as k for kcore
+              and walk length for walks
 """
 
 from __future__ import annotations
@@ -158,6 +162,42 @@ def main() -> None:
         from haskellpagerank_spark.operators.triangles import triangle_count
         out = triangle_count(g)
         summary = {"n_triangles": out.first()["n_triangles"]}
+    elif m == "scc":
+        from haskellpagerank_spark.operators.structure import (
+            strongly_connected_components)
+        res = strongly_connected_components(g)
+        out, iters = res.df, res.iterations
+        summary = {"n_sccs": out.select("scc").distinct().count()}
+    elif m == "bowtie":
+        from haskellpagerank_spark.operators.structure import bowtie
+        res = bowtie(g)
+        out, iters = res.df, res.iterations
+        summary = {r["component"]: r["count"]
+                   for r in out.groupBy("component").count().collect()}
+    elif m == "hits":
+        from haskellpagerank_spark.operators.centrality import hits
+        res = hits(g, num_iters=args.num_iters or 10)
+        out, iters = res.df, res.iterations
+        summary = {}
+    elif m == "kcore":
+        from haskellpagerank_spark.operators.centrality import k_core
+        res = k_core(g, k=max(args.num_iters, 2))  # --num-iters doubles as k
+        out, iters = res.df, res.iterations
+        summary = {"core_size": out.count()}
+    elif m == "clustering":
+        from haskellpagerank_spark.operators.structure import (
+            clustering_coefficient)
+        out = clustering_coefficient(g)
+        summary = {"avg_cc": out.agg({"cc": "avg"}).first()[0]}
+    elif m == "summary":
+        from haskellpagerank_spark.operators.structure import graph_summary
+        out = graph_summary(g)
+        summary = out.first().asDict()
+    elif m == "walks":
+        from haskellpagerank_spark.operators.walks import random_walks
+        out = random_walks(g, walk_length=args.num_iters or 5,
+                           seed=args.seed)
+        summary = {"n_walk_steps": out.count()}
     else:
         raise SystemExit(f"unknown method {m!r} (see --help)")
     run_s = time.monotonic() - t0
