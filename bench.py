@@ -159,15 +159,21 @@ def main() -> None:
     queries["pages_pagerank_5"] = round(time.monotonic() - t0 - t_extract, 3)
     extra["pages_n_edges"] = n_page_edges
 
-    # -- structure analytics on the same pages graph: SCC (trim + FW/BW
-    #    min-label) and the Broder bow-tie decomposition seeded from it
+    # -- structure analytics on the same pages graph: SCC (auto tier — the
+    #    COST pick at this |E| is the driver-local numpy kernel — plus the
+    #    distributed trim+FW/BW path) and the Broder bow-tie decomposition
     from haskellpagerank_spark.operators.structure import (
-        bowtie, strongly_connected_components)
+        bowtie, strongly_connected_components,
+        strongly_connected_components_auto)
     t0 = time.monotonic()
-    scc_res = strongly_connected_components(pg)
+    scc_res = strongly_connected_components_auto(pg)
     _consume(scc_res.df)
     queries["pages_scc"] = round(time.monotonic() - t0, 3)
-    extra["scc_rounds"] = scc_res.iterations
+    extra["scc_strategy"] = scc_res.metrics[0].extra.get(
+        "strategy", "distributed") if scc_res.metrics else "distributed"
+    t0 = time.monotonic()
+    _consume(strongly_connected_components(pg).df)
+    queries["pages_scc_joinpath"] = round(time.monotonic() - t0, 3)
     t0 = time.monotonic()
     bt = bowtie(pg, scc_res.df)
     _consume(bt.df)

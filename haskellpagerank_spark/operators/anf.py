@@ -1,0 +1,170 @@
+"""Approximate neighborhood function (ANF / HyperANF family): per-vertex
+ball-size estimates and the graph's neighborhood function N(t), via
+Flajolet-Martin bit sketches unioned along edges.
+
+The algorithm is Palmer/Gibbons/Faloutsos ANF (KDD 2002) with the
+HyperBall iteration scheme (Boldi-Rosa-Vigna, WWW 2011): each vertex keeps
+``n_sketches`` FM registers; sweep t replaces every register with the
+bitwise OR of its successors' registers (plus its own), so after t sweeps
+register k of v summarizes {u : v reaches u in <= t hops} and the ball size
+is estimated as 2^mean(R_k) / 0.77351 where R_k = position of the lowest
+zero bit. This is THE way to get effective-diameter / reachable-set curves
+on a web graph without all-pairs BFS.
+
+Everything is integer bit arithmetic over 63-bit registers seeded from the
+engine's cross-engine md5 hash (operators/walks.py chooser), so the whole
+computation is deterministic and hash-exactly reproducible in DuckDB and
+NumPy — the estimates are approximate w.r.t. the TRUE ball sizes (that's
+the sketch), but exact w.r.t. the algorithm.
+
+Scale shape: state is |V| x n_sketches rows of (id, k, long); each sweep is
+one equi-join edges x state and one two-phase bit_or aggregation keyed
+(id, k) — map-side combined, shuffle bounded by |V| x k rows. bit_count /
+shiftleft / bit_or are all codegen'd JVM intrinsics; no Python anywhere.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.checkpoint import IterationMetrics
+from .graph import Graph
+from .structure import StructureResult
+
+# FM bias correction (Flajolet-Martin 1985, phi)
+FM_PHI = 0.77351
+
+
+def _md5_63(s):
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def _trailing_zeros(col):
+    """Position of the lowest SET bit: bit_count((h & -h) - 1)."""
+    low = col.bitwiseAND(-col)
+    return F.bit_count(low - 1)
+
+
+def _lowest_zero(col):
+    """Position of the lowest ZERO bit: bit_count((~s & (s+1)) - 1)."""
+    return F.bit_count(F.bitwise_not(col).bitwiseAND(col + 1) - 1)
+
+
+def fm_sketches(g: Graph, n_sketches: int = 8, seed: int = 42) -> DataFrame:
+    """Initial registers: (id, k, s) with s = 1 << min(rho(h_k(id)), 50),
+    h_k = md5_63("{seed}|{k}|{id}")."""
+    spark = g.spark
+    ks = spark.range(n_sketches).select(F.col("id").alias("k"))
+    h = _md5_63(F.concat_ws(
+        "|", F.lit(seed).cast("string"), F.col("k").cast("string"),
+        F.col("id").cast("string")))
+    rho = F.least(_trailing_zeros(h), F.lit(50))
+    return (
+        g.vertices().crossJoin(ks)
+        .withColumn("rho", rho)
+        .selectExpr("id", "k",
+                    "shiftleft(CAST(1 AS BIGINT), CAST(rho AS INT)) AS s")
+    )
+
+
+def _estimate(state: DataFrame) -> DataFrame:
+    """(id, ball_est): 2^mean_k(lowest-zero position) / phi, rounded to 6
+    decimals (pure float ops on identical integer inputs in every engine)."""
+    return (
+        state.select("id", _lowest_zero(F.col("s")).alias("r"))
+        .groupBy("id")
+        .agg(F.avg("r").alias("avg_r"))
+        .select("id", F.round(
+            F.pow(F.lit(2.0), F.col("avg_r")) / FM_PHI, 6).alias("ball_est"))
+    )
+
+
+def anf(g: Graph, radius: int, n_sketches: int = 8,
+        seed: int = 42) -> StructureResult:
+    """Run ``radius`` union sweeps; returns (id, ball_est) — the estimated
+    number of vertices reachable from id within ``radius`` hops (including
+    itself). metrics[t].extra["nf_sum"] is the neighborhood function N(t+1)
+    summed over all vertices — its saturation point is the effective
+    diameter."""
+    if radius < 0:
+        raise ValueError("radius must be >= 0")
+    spark = g.spark
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = g.edges.where(F.col("src") != F.col("dst")) \
+        .dropDuplicates(["src", "dst"]) \
+        .repartition(shuffle_p, "dst").persist()
+    n_edges = e.count()
+    state = fm_sketches(g, n_sketches, seed) \
+        .repartition(shuffle_p, "id").localCheckpoint(eager=True)
+    metrics: list[IterationMetrics] = []
+    for it in range(1, radius + 1):
+        t0 = time.monotonic()
+        msgs = (
+            e.join(state.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"), "k")
+            .agg(F.bit_or("s").alias("m"))
+        )
+        state = (
+            state.join(msgs, ["id", "k"], "left")
+            .select("id", "k",
+                    F.col("s").bitwiseOR(F.coalesce("m", F.lit(0)))
+                    .alias("s"))
+            .localCheckpoint(eager=True)
+        )
+        nf_sum = float(_estimate(state).agg(
+            F.sum("ball_est")).first()[0])
+        metrics.append(IterationMetrics(
+            iteration=it, l1_residual=0.0, linf_residual=0.0,
+            rows_shuffled=n_edges + g.num_vertices * n_sketches,
+            wall_s=time.monotonic() - t0,
+            extra={"nf_sum": nf_sum}))
+    e.unpersist()
+    return StructureResult(df=_estimate(state), iterations=radius,
+                           metrics=metrics)
+
+
+def anf_sql(edges_sql: str, verts_sql: str, radius: int,
+            n_sketches: int = 8, seed: int = 42) -> str:
+    """DuckDB twin of ``anf`` — same md5 seeding, same bit arithmetic,
+    unrolled sweeps."""
+    ctes = [
+        f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}) "
+        "WHERE src <> dst)",
+        f"ks AS MATERIALIZED (SELECT UNNEST(range({n_sketches})) AS k)",
+        "s0 AS MATERIALIZED (SELECT v.id, ks.k, "
+        "CAST(1 AS BIGINT) << LEAST(bit_count((h & -h) - 1), 50) AS s "
+        "FROM (SELECT id, CAST('0x' || substr(md5("
+        f"CAST({seed} AS VARCHAR) || '|' || CAST(ks2.k AS VARCHAR) || '|' "
+        "|| CAST(v2.id AS VARCHAR)), 1, 15) AS BIGINT) AS h, ks2.k AS kk "
+        f"FROM ({verts_sql}) v2, (SELECT UNNEST(range({n_sketches})) AS k) "
+        "ks2) t(id, h, k0), "
+        f"({verts_sql}) v, ks "
+        "WHERE t.id = v.id AND t.k0 = ks.k)",
+    ]
+    # simpler: rebuild s0 directly (the above double-join form is awkward)
+    ctes[2] = (
+        "s0 AS MATERIALIZED (SELECT id, k, CAST(1 AS BIGINT) << "
+        "LEAST(bit_count((h & -h) - 1), 50) AS s FROM ("
+        f"SELECT v.id, ks.k, CAST('0x' || substr(md5(CAST({seed} AS VARCHAR)"
+        " || '|' || CAST(ks.k AS VARCHAR) || '|' || CAST(v.id AS VARCHAR)), "
+        f"1, 15) AS BIGINT) AS h FROM ({verts_sql}) v, ks))")
+    for i in range(1, radius + 1):
+        p = i - 1
+        ctes += [
+            f"m{i} AS MATERIALIZED (SELECT e.src AS id, s.k, "
+            f"bit_or(s.s) AS m FROM e JOIN s{p} s ON e.dst = s.id "
+            "GROUP BY 1, 2)",
+            f"s{i} AS MATERIALIZED (SELECT s.id, s.k, "
+            f"s.s | COALESCE(m.m, 0) AS s FROM s{p} s "
+            f"LEFT JOIN m{i} m ON s.id = m.id AND s.k = m.k)",
+        ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT id, ROUND(pow(2.0, avg_r) / {FM_PHI!r}, 6) AS ball_est
+        FROM (SELECT id, AVG(bit_count(((~s) & (s + 1)) - 1)) AS avg_r
+              FROM s{radius} GROUP BY 1)"""
+    )

@@ -617,3 +617,38 @@ def random_walks(src, dst, n, walk_length=5, walks_per_vertex=1, seed=42):
                 cur = nbrs[h % len(nbrs)]
                 out[(wid, step)] = cur
     return out
+
+
+def anf(src, dst, n, radius, n_sketches=8, seed=42):
+    """Flajolet-Martin ANF (operators/anf.py): per-vertex ball_est after
+    ``radius`` union sweeps, same md5 seeding/bit arithmetic. Returns
+    {id: round(est, 6)}."""
+    import hashlib
+
+    def md5_63(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def tz(h):
+        return (h & -h).bit_length() - 1 if h else 63
+
+    sk = [[1 << min(tz(md5_63(f"{seed}|{k}|{v}")), 50)
+           for k in range(n_sketches)] for v in range(n)]
+    succ = {}
+    for s, d in set(zip(src.tolist(), dst.tolist())):
+        if s != d:
+            succ.setdefault(s, []).append(d)
+    for _ in range(radius):
+        new = [row[:] for row in sk]
+        for v, ds in succ.items():
+            for d in ds:
+                for k in range(n_sketches):
+                    new[v][k] |= sk[d][k]
+        sk = new
+    out = {}
+    for v in range(n):
+        rs = []
+        for k in range(n_sketches):
+            s = sk[v][k]
+            rs.append(((~s) & (s + 1)).bit_length() - 1)
+        out[v] = round(2.0 ** (sum(rs) / n_sketches) / 0.77351, 6)
+    return out

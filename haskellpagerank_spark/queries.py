@@ -700,6 +700,14 @@ def _q_scc_nation(spark, sf_dir):
     return strongly_connected_components(nation_trade_graph(spark, sf_dir)).df
 
 
+def _q_scc_auto_nation(spark, sf_dir):
+    """SCC via the COST-tiered dispatch (picks the driver-local numpy
+    kernel at this |E|); output identical to scc_nation."""
+    from .operators.structure import strongly_connected_components_auto
+    return strongly_connected_components_auto(
+        nation_trade_graph(spark, sf_dir)).df
+
+
 def _q_bowtie_nation(spark, sf_dir):
     """Broder bow-tie decomposition (CORE/IN/OUT/OTHER) around the largest
     SCC (structure.bowtie)."""
@@ -742,6 +750,19 @@ def _q_graph_summary_nation(spark, sf_dir):
     (structure.graph_summary)."""
     from .operators.structure import graph_summary
     return graph_summary(nation_trade_graph(spark, sf_dir))
+
+
+def _q_anf_nation(spark, sf_dir):
+    """Approximate neighborhood function at radius 3: per-vertex FM-sketch
+    ball-size estimates (operators/anf.py — deterministic bit arithmetic,
+    identical in every engine)."""
+    from .operators.anf import anf
+    return anf(nation_trade_graph(spark, sf_dir), radius=3).df
+
+
+def _anf_sql_twin() -> str:
+    from .operators.anf import anf_sql
+    return anf_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, radius=3)
 
 
 def _walks_sql_twin() -> str:
@@ -932,6 +953,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clustering_nation": _q_clustering_nation,
     "cocitation_nation": _q_cocitation_nation,
     "scc_nation": _q_scc_nation,
+    "scc_auto_nation": _q_scc_auto_nation,
     "bowtie_nation": _q_bowtie_nation,
     "sssp_nation": _q_sssp_nation,
     "harmonic_nation": _q_harmonic_nation,
@@ -939,6 +961,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_summary_nation": _q_graph_summary_nation,
     "walks_nation": _q_walks_nation,
     "anchor_text_index": _q_anchor_text_index,
+    "anf_nation": _q_anf_nation,
     "multimodal_metadata": _q_multimodal_metadata,
     "multimodal_features": _q_multimodal_features,
     "frame_sample_plan": _q_frame_sample_plan,
@@ -1257,6 +1280,8 @@ ORACLES: dict[str, str] = {
                                            NATION_VERTS_SQL),
     "cocitation_nation": SQ.cocitation_sql(NATION_EDGES_SQL, min_common=2),
     "scc_nation": SQ.scc_sql(NATION_EDGES_SQL, NATION_VERTS_SQL),
+    # the auto tier converges to the same schedule-independent labels
+    "scc_auto_nation": SQ.scc_sql(NATION_EDGES_SQL, NATION_VERTS_SQL),
     "bowtie_nation": SQ.bowtie_sql(NATION_EDGES_SQL, NATION_VERTS_SQL),
     "sssp_nation": SQ.sssp_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, [0],
                                rounds=26),
@@ -1265,6 +1290,7 @@ ORACLES: dict[str, str] = {
     "graph_summary_nation": SQ.graph_summary_sql(NATION_EDGES_SQL,
                                                  NATION_VERTS_SQL),
     "walks_nation": _walks_sql_twin(),
+    "anf_nation": _anf_sql_twin(),
     "anchor_text_index": f"""
         WITH a AS (
             SELECT t.z[1] AS dst_url, t.z[2] AS anchor

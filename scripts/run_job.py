@@ -164,8 +164,8 @@ def main() -> None:
         summary = {"n_triangles": out.first()["n_triangles"]}
     elif m == "scc":
         from haskellpagerank_spark.operators.structure import (
-            strongly_connected_components)
-        res = strongly_connected_components(g)
+            strongly_connected_components_auto)
+        res = strongly_connected_components_auto(g)
         out, iters = res.df, res.iterations
         summary = {"n_sccs": out.select("scc").distinct().count()}
     elif m == "bowtie":

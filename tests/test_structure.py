@@ -176,3 +176,28 @@ def test_graph_summary_matches_oracle(spark, name):
     got = (row["n_vertices"], row["n_edges"], row["n_sinks"],
            row["max_out_deg"], row["avg_out_deg"], row["reciprocity"])
     assert got == pytest.approx(want, abs=1e-9)
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_scc_local_matches_oracle(spark, name):
+    from haskellpagerank_spark.operators.structure import (
+        strongly_connected_components_local)
+    src, dst, n = _arrays(name)
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    got = {r["id"]: r["scc"]
+           for r in strongly_connected_components_local(g).df.collect()}
+    want = oracle.strongly_connected_components(src, dst, n)
+    assert got == {v: want[v] for v in range(n)}
+
+
+def test_scc_auto_picks_local_and_matches(spark):
+    from haskellpagerank_spark.operators.structure import (
+        strongly_connected_components, strongly_connected_components_auto)
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 3), (4, 5)]
+    g = from_pairs(spark, pairs)
+    res = strongly_connected_components_auto(g)
+    assert res.metrics[0].extra.get("strategy") == "local"
+    got = {r["id"]: r["scc"] for r in res.df.collect()}
+    dist = {r["id"]: r["scc"]
+            for r in strongly_connected_components(g).df.collect()}
+    assert got == dist
