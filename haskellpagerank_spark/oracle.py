@@ -652,3 +652,40 @@ def anf(src, dst, n, radius, n_sketches=8, seed=42):
             rs.append(((~s) & (s + 1)).bit_length() - 1)
         out[v] = round(2.0 ** (sum(rs) / n_sketches) / 0.77351, 6)
     return out
+
+
+def betweenness(src, dst, n, sources=None):
+    """Brandes betweenness (directed, unweighted, endpoints excluded);
+    ``sources`` defaults to all vertices (exact bc)."""
+    from collections import deque
+
+    adj = [[] for _ in range(n)]
+    for s, d in set(zip(src.tolist(), dst.tolist())):
+        if s != d:
+            adj[s].append(d)
+    bc = [0.0] * n
+    for s in (range(n) if sources is None else sorted(set(sources))):
+        dist = [-1] * n
+        sigma = [0.0] * n
+        preds = [[] for _ in range(n)]
+        dist[s] = 0
+        sigma[s] = 1.0
+        order = []
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if dist[w] == -1:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = [0.0] * n
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += (sigma[v] / sigma[w]) * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc

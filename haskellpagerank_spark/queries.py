@@ -737,6 +737,16 @@ def _q_harmonic_nation(spark, sf_dir):
     return res.df.select("id", F.round("harmonic", 8).alias("harmonic"))
 
 
+def _q_betweenness_nation(spark, sf_dir):
+    """Exact betweenness centrality (Brandes, landmarks = all nations) —
+    forward sigma levels + backward dependency accumulation
+    (operators/betweenness.py)."""
+    from .operators.betweenness import betweenness
+    g = nation_trade_graph(spark, sf_dir)
+    res = betweenness(g, list(range(g.num_vertices)))
+    return res.df.select("id", F.round("bc", 6).alias("bc"))
+
+
 def _q_adamic_adar_nation(spark, sf_dir):
     """Adamic-Adar link-prediction scores over the undirected nation graph
     (structure.adamic_adar)."""
@@ -962,6 +972,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "walks_nation": _q_walks_nation,
     "anchor_text_index": _q_anchor_text_index,
     "anf_nation": _q_anf_nation,
+    "betweenness_nation": _q_betweenness_nation,
     "multimodal_metadata": _q_multimodal_metadata,
     "multimodal_features": _q_multimodal_features,
     "frame_sample_plan": _q_frame_sample_plan,
@@ -1291,6 +1302,8 @@ ORACLES: dict[str, str] = {
                                                  NATION_VERTS_SQL),
     "walks_nation": _walks_sql_twin(),
     "anf_nation": _anf_sql_twin(),
+    "betweenness_nation": SQ.betweenness_sql_twin(NATION_EDGES_SQL,
+                                                  NATION_VERTS_SQL),
     "anchor_text_index": f"""
         WITH a AS (
             SELECT t.z[1] AS dst_url, t.z[2] AS anchor

@@ -770,3 +770,11 @@ def graph_summary_sql(edges_sql: str, verts_sql: str,
                      / GREATEST(CAST((SELECT COUNT(*) FROM e) AS DOUBLE), 1),
                      {round_to}) AS reciprocity
     """
+
+
+def betweenness_sql_twin(edges_sql: str, verts_sql: str,
+                         max_depth: int = 12) -> str:
+    """Thin re-export keeping queries.py's one-import convention; the twin
+    itself lives beside the operator (operators/betweenness.py)."""
+    from .operators.betweenness import betweenness_sql
+    return betweenness_sql(edges_sql, verts_sql, max_depth=max_depth)
