@@ -689,3 +689,24 @@ def betweenness(src, dst, n, sources=None):
             if w != s:
                 bc[w] += delta[w]
     return bc
+
+
+def k_truss(src, dst, n, k):
+    """k-truss edge peel (operators/structure.k_truss): returns
+    {(a, b): support} over surviving canonical edges, a < b."""
+    edges = set()
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s != d:
+            edges.add((min(s, d), max(s, d)))
+    while True:
+        nbrs = {}
+        for a, b in edges:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        sup = {e: len(nbrs[e[0]] & nbrs[e[1]]) for e in edges}
+        drop = {e for e, s_ in sup.items() if s_ < k - 2}
+        if not drop:
+            return sup
+        edges -= drop
+        if not edges:
+            return {}

@@ -747,6 +747,14 @@ def _q_betweenness_nation(spark, sf_dir):
     return res.df.select("id", F.round("bc", 6).alias("bc"))
 
 
+def _q_ktruss_nation(spark, sf_dir):
+    """6-truss of the undirected nation graph: edge peel to the maximal
+    subgraph where every edge closes >= 4 triangles
+    (structure.k_truss)."""
+    from .operators.structure import k_truss
+    return k_truss(nation_trade_graph(spark, sf_dir), k=6).df
+
+
 def _q_adamic_adar_nation(spark, sf_dir):
     """Adamic-Adar link-prediction scores over the undirected nation graph
     (structure.adamic_adar)."""
@@ -973,6 +981,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_text_index": _q_anchor_text_index,
     "anf_nation": _q_anf_nation,
     "betweenness_nation": _q_betweenness_nation,
+    "ktruss_nation": _q_ktruss_nation,
     "multimodal_metadata": _q_multimodal_metadata,
     "multimodal_features": _q_multimodal_features,
     "frame_sample_plan": _q_frame_sample_plan,
@@ -1304,6 +1313,9 @@ ORACLES: dict[str, str] = {
     "anf_nation": _anf_sql_twin(),
     "betweenness_nation": SQ.betweenness_sql_twin(NATION_EDGES_SQL,
                                                   NATION_VERTS_SQL),
+    # measured peel depth at sf0.01 is 3 rounds; 8 gives slack (extra
+    # rounds are no-ops at the fixpoint)
+    "ktruss_nation": SQ.k_truss_sql(NATION_EDGES_SQL, k=6, rounds=8),
     "anchor_text_index": f"""
         WITH a AS (
             SELECT t.z[1] AS dst_url, t.z[2] AS anchor

@@ -778,3 +778,34 @@ def betweenness_sql_twin(edges_sql: str, verts_sql: str,
     itself lives beside the operator (operators/betweenness.py)."""
     from .operators.betweenness import betweenness_sql
     return betweenness_sql(edges_sql, verts_sql, max_depth=max_depth)
+
+
+def k_truss_sql(edges_sql: str, k: int, rounds: int) -> str:
+    """Unrolled k-truss peel (matches operators.structure.k_truss);
+    ``rounds`` must cover the peel depth (extra rounds are no-ops; the
+    hard bound is |E|+1)."""
+    ctes = [
+        f"e0raw AS MATERIALIZED (SELECT src, dst FROM ({edges_sql}) "
+        "WHERE src <> dst)",
+        "c0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS src, "
+        "GREATEST(src, dst) AS dst FROM e0raw)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes += [
+            # support of every surviving canonical edge = common neighbors
+            f"t{i} AS MATERIALIZED (SELECT c.src, c.dst, COUNT(w.w) "
+            f"AS support FROM c{p} c LEFT JOIN ("
+            f"SELECT src AS v, dst AS w FROM c{p} "
+            f"UNION ALL SELECT dst AS v, src AS w FROM c{p}) n1 "
+            "ON n1.v = c.src "
+            f"LEFT JOIN (SELECT src AS v, dst AS w FROM c{p} "
+            f"UNION ALL SELECT dst AS v, src AS w FROM c{p}) w "
+            "ON w.v = c.dst AND w.w = n1.w "
+            "GROUP BY 1, 2)",
+            f"c{i} AS MATERIALIZED (SELECT src, dst FROM t{i} "
+            f"WHERE support >= {k - 2})",
+        ]
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT src, dst, support FROM t{rounds} "
+            f"WHERE support >= {k - 2}")

@@ -201,3 +201,24 @@ def test_scc_auto_picks_local_and_matches(spark):
     dist = {r["id"]: r["scc"]
             for r in strongly_connected_components(g).df.collect()}
     assert got == dist
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+@pytest.mark.parametrize("k", [3, 4])
+def test_k_truss_matches_oracle(spark, name, k):
+    from haskellpagerank_spark.operators.structure import k_truss
+    src, dst, n = _arrays(name)
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    got = {(r["src"], r["dst"]): r["support"]
+           for r in k_truss(g, k=k).df.collect()}
+    assert got == oracle.k_truss(src, dst, n, k)
+
+
+def test_k_truss_peels_pendant_triangle(spark):
+    from haskellpagerank_spark.operators.structure import k_truss
+    # K4 on {0,1,2,3} plus a pendant triangle (3,4,5): 4-truss keeps only
+    # the K4 (every K4 edge has support 2; pendant edges have support 1)
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    g = from_pairs(spark, k4 + [(3, 4), (4, 5), (3, 5)])
+    got = {(r["src"], r["dst"]) for r in k_truss(g, k=4).df.collect()}
+    assert got == set(k4)
