@@ -680,3 +680,79 @@ def k_truss(g: Graph, k: int, max_rounds: int = 1000) -> StructureResult:
     out = support.where(F.col("support") >= k - 2) if support is not None \
         else canon.select("src", "dst", F.lit(0).alias("support"))
     return StructureResult(df=out, iterations=rounds, metrics=metrics)
+
+
+# --------------------------------------------- modularity & assortativity
+
+def modularity(g: Graph, labels: DataFrame,
+               label_col: str = "label") -> DataFrame:
+    """Per-community Newman modularity terms over the undirected simple
+    graph: (label, internal_edges, degree_sum, contrib) with
+    contrib = internal/m - (degree_sum/(2m))^2; total modularity Q is the
+    sum of contrib. ``labels`` is (id, <label_col>) — any community
+    assignment (LP, CC, coloring). One canonical-edge join + two aggs.
+    """
+    und = undirected_simple_edges(g)
+    canon = und.where(F.col("src") < F.col("dst"))
+    lab = labels.select("id", F.col(label_col).alias("_lbl"))
+    m = canon.count()
+    if m == 0:
+        raise ValueError("modularity needs at least one undirected edge")
+    internal = (
+        canon.join(lab.withColumnRenamed("id", "src")
+                   .withColumnRenamed("_lbl", "ls"), "src")
+        .join(lab.withColumnRenamed("id", "dst")
+              .withColumnRenamed("_lbl", "ld"), "dst")
+        .where(F.col("ls") == F.col("ld"))
+        .groupBy(F.col("ls").alias("label"))
+        .agg(F.count(F.lit(1)).alias("internal_edges"))
+    )
+    degsum = (
+        und.join(lab.withColumnRenamed("id", "src"), "src")
+        .groupBy(F.col("_lbl").alias("label"))
+        .agg(F.count(F.lit(1)).alias("degree_sum"))
+    )
+    return (
+        degsum.join(internal, "label", "left")
+        .select(
+            "label",
+            F.coalesce("internal_edges", F.lit(0)).alias("internal_edges"),
+            "degree_sum",
+            F.round(
+                F.coalesce("internal_edges", F.lit(0)) / F.lit(float(m))
+                - (F.col("degree_sum") / F.lit(2.0 * m))
+                * (F.col("degree_sum") / F.lit(2.0 * m)),
+                8).alias("contrib"),
+        )
+    )
+
+
+def assortativity(g: Graph) -> DataFrame:
+    """One-row degree-assortativity coefficient (Newman 2002) over the
+    undirected simple graph: Pearson correlation of (deg(u), deg(v)) across
+    the 2|E| ordered edge stubs. All moments are integer sums, so the final
+    float division is bit-identical in every engine. Returns
+    (r double, n_stubs long)."""
+    und = undirected_simple_edges(g)
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    stubs = (
+        und.join(deg.withColumnRenamed("id", "src")
+                 .withColumnRenamed("deg", "dx"), "src")
+        .join(deg.withColumnRenamed("id", "dst")
+              .withColumnRenamed("deg", "dy"), "dst")
+    )
+    agg = stubs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    ).first()
+    n, sx, sxx, sxy = (int(agg["n"]), int(agg["sx"]), int(agg["sxx"]),
+                       int(agg["sxy"]))
+    # symmetric stubs: sy = sx, syy = sxx
+    den = n * sxx - sx * sx
+    r = float(n * sxy - sx * sx) / den if den else 0.0
+    import pandas as pd
+    return g.spark.createDataFrame(pd.DataFrame(
+        {"r": [round(r, 8)], "n_stubs": [n]}))

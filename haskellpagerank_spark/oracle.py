@@ -710,3 +710,48 @@ def k_truss(src, dst, n, k):
         edges -= drop
         if not edges:
             return {}
+
+
+def modularity(src, dst, n, labels):
+    """{label: (internal, degree_sum, contrib)} over the undirected simple
+    graph (operators/structure.modularity)."""
+    und = set()
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    m = len(und)
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    out = {}
+    for v, dv in deg.items():
+        lbl = labels[v]
+        i, ds = out.get(lbl, (0, 0))
+        out[lbl] = (i, ds + dv)
+    for a, b in und:
+        if labels[a] == labels[b]:
+            i, ds = out[labels[a]]
+            out[labels[a]] = (i + 1, ds)
+    return {lbl: (i, ds, round(i / m - (ds / (2.0 * m)) * (ds / (2.0 * m)), 8))
+            for lbl, (i, ds) in out.items()}
+
+
+def assortativity(src, dst, n):
+    """(r, n_stubs) — Pearson over ordered undirected edge stubs."""
+    und = set()
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    stubs = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    ns = len(stubs)
+    sx = sum(deg[a] for a, _ in stubs)
+    sxx = sum(deg[a] * deg[a] for a, _ in stubs)
+    sxy = sum(deg[a] * deg[b] for a, b in stubs)
+    den = ns * sxx - sx * sx
+    r = float(ns * sxy - sx * sx) / den if den else 0.0
+    return round(r, 8), ns

@@ -755,6 +755,23 @@ def _q_ktruss_nation(spark, sf_dir):
     return k_truss(nation_trade_graph(spark, sf_dir), k=6).df
 
 
+def _q_modularity_nation(spark, sf_dir):
+    """Per-community modularity terms of the LP-5 communities on the
+    undirected nation graph (structure.modularity)."""
+    from .operators.components import label_propagation
+    from .operators.structure import modularity
+    g = nation_trade_graph(spark, sf_dir)
+    labels = label_propagation(g, num_iters=5).df
+    return modularity(g, labels)
+
+
+def _q_assortativity_nation(spark, sf_dir):
+    """One-row degree-assortativity coefficient of the undirected nation
+    graph (structure.assortativity — integer moments, one division)."""
+    from .operators.structure import assortativity
+    return assortativity(nation_trade_graph(spark, sf_dir))
+
+
 def _q_adamic_adar_nation(spark, sf_dir):
     """Adamic-Adar link-prediction scores over the undirected nation graph
     (structure.adamic_adar)."""
@@ -982,6 +999,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anf_nation": _q_anf_nation,
     "betweenness_nation": _q_betweenness_nation,
     "ktruss_nation": _q_ktruss_nation,
+    "modularity_nation": _q_modularity_nation,
+    "assortativity_nation": _q_assortativity_nation,
     "multimodal_metadata": _q_multimodal_metadata,
     "multimodal_features": _q_multimodal_features,
     "frame_sample_plan": _q_frame_sample_plan,
@@ -1316,6 +1335,9 @@ ORACLES: dict[str, str] = {
     # measured peel depth at sf0.01 is 3 rounds; 8 gives slack (extra
     # rounds are no-ops at the fixpoint)
     "ktruss_nation": SQ.k_truss_sql(NATION_EDGES_SQL, k=6, rounds=8),
+    "modularity_nation": SQ.modularity_sql(
+        NATION_EDGES_SQL, lp_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, 5)),
+    "assortativity_nation": SQ.assortativity_sql(NATION_EDGES_SQL),
     "anchor_text_index": f"""
         WITH a AS (
             SELECT t.z[1] AS dst_url, t.z[2] AS anchor

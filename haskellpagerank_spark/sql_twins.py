@@ -809,3 +809,50 @@ def k_truss_sql(edges_sql: str, k: int, rounds: int) -> str:
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT src, dst, support FROM t{rounds} "
             f"WHERE support >= {k - 2}")
+
+
+def modularity_sql(edges_sql: str, labels_sql: str,
+                   round_to: int = 8) -> str:
+    """Per-community modularity terms over the undirected simple graph;
+    ``labels_sql`` yields (id, label) — e.g. queries.lp_sql's output
+    (matches operators.structure.modularity)."""
+    return f"""
+        WITH lp AS MATERIALIZED (SELECT * FROM ({labels_sql}) t),
+        e0 AS (SELECT src, dst FROM ({edges_sql}) WHERE src <> dst),
+        und AS (SELECT DISTINCT src, dst FROM
+                (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+        canon AS (SELECT src, dst FROM und WHERE src < dst),
+        m AS (SELECT COUNT(*) AS m FROM canon),
+        internal AS (SELECT ls.label, COUNT(*) AS n FROM canon c
+                     JOIN lp ls ON c.src = ls.id
+                     JOIN lp ld ON c.dst = ld.id
+                     WHERE ls.label = ld.label GROUP BY 1),
+        degsum AS (SELECT l.label, COUNT(*) AS ds FROM und u
+                   JOIN lp l ON u.src = l.id GROUP BY 1)
+        SELECT d.label, COALESCE(i.n, 0) AS internal_edges,
+               d.ds AS degree_sum,
+               ROUND(COALESCE(i.n, 0) / CAST(m.m AS DOUBLE)
+                     - (d.ds / (2.0 * m.m)) * (d.ds / (2.0 * m.m)),
+                     {round_to}) AS contrib
+        FROM degsum d LEFT JOIN internal i ON d.label = i.label, m
+    """
+
+
+def assortativity_sql(edges_sql: str, round_to: int = 8) -> str:
+    """One-row degree-assortativity twin — identical integer moments, one
+    final float division (matches operators.structure.assortativity)."""
+    return f"""
+        WITH e0 AS (SELECT src, dst FROM ({edges_sql}) WHERE src <> dst),
+        und AS (SELECT DISTINCT src, dst FROM
+                (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+        deg AS (SELECT src AS id, COUNT(*) AS deg FROM und GROUP BY 1),
+        stubs AS (SELECT dx.deg AS dx, dy.deg AS dy FROM und u
+                  JOIN deg dx ON u.src = dx.id JOIN deg dy ON u.dst = dy.id),
+        agg AS (SELECT COUNT(*) AS n, SUM(dx) AS sx,
+                       SUM(dx * dx) AS sxx, SUM(dx * dy) AS sxy FROM stubs)
+        SELECT CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+               ELSE ROUND(CAST(n * sxy - sx * sx AS DOUBLE)
+                          / (n * sxx - sx * sx), {round_to}) END AS r,
+               n AS n_stubs
+        FROM agg
+    """

@@ -222,3 +222,45 @@ def test_k_truss_peels_pendant_triangle(spark):
     g = from_pairs(spark, k4 + [(3, 4), (4, 5), (3, 5)])
     got = {(r["src"], r["dst"]) for r in k_truss(g, k=4).df.collect()}
     assert got == set(k4)
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_modularity_matches_oracle(spark, name):
+    from haskellpagerank_spark.operators.components import label_propagation
+    from haskellpagerank_spark.operators.structure import modularity
+    src, dst, n = _arrays(name)
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    lp = label_propagation(g, num_iters=3).df
+    labels = {r["id"]: r["label"] for r in lp.collect()}
+    got = {r["label"]: (r["internal_edges"], r["degree_sum"], r["contrib"])
+           for r in modularity(g, lp).collect()}
+    assert got == oracle.modularity(src, dst, n, labels)
+
+
+def test_modularity_two_cliques(spark):
+    from haskellpagerank_spark.operators.structure import modularity
+    # two K3s joined by one bridge; perfect 2-community split
+    pairs = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    g = from_pairs(spark, pairs)
+    lab = spark.createDataFrame(
+        [(v, 0 if v < 3 else 1) for v in range(6)], "id long, label long")
+    rows = {r["label"]: r["contrib"] for r in modularity(g, lab).collect()}
+    # m=7: each community: internal 3, degree_sum 7 -> 3/7 - (7/14)^2
+    expect = round(3 / 7 - 0.25, 8)
+    assert rows == {0: pytest.approx(expect), 1: pytest.approx(expect)}
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_assortativity_matches_oracle(spark, name):
+    from haskellpagerank_spark.operators.structure import assortativity
+    src, dst, n = _arrays(name)
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    row = assortativity(g).first()
+    want_r, want_n = oracle.assortativity(src, dst, n)
+    assert (row["r"], row["n_stubs"]) == (pytest.approx(want_r), want_n)
+
+
+def test_assortativity_star_is_negative(spark):
+    from haskellpagerank_spark.operators.structure import assortativity
+    g = from_pairs(spark, [(0, i) for i in range(1, 8)])
+    assert assortativity(g).first()["r"] == pytest.approx(-1.0)
