@@ -375,18 +375,10 @@ def sssp(g: Graph, weighted_edges: DataFrame, sources: list[int],
 
 # ------------------------------------------------------ harmonic centrality
 
-def harmonic_centrality(g: Graph, landmarks: list[int],
-                        directed: bool = True,
-                        max_depth: int = 200) -> StructureResult:
-    """Harmonic centrality h(v) = sum over landmarks u != v reaching v of
-    1/d(u, v), via one multi-landmark BFS with (lm, id) composite keys.
-
-    Exact centrality when ``landmarks`` = all vertices; a uniform landmark
-    sample gives the Eppstein–Wang estimate scaled by |V|/|landmarks| (the
-    caller scales). Returns (id, harmonic) over the dense vertex space.
-    """
-    if not landmarks:
-        raise ValueError("harmonic_centrality needs at least one landmark")
+def _landmark_distances(g: Graph, landmarks: list[int], directed: bool,
+                        max_depth: int):
+    """Shared multi-landmark BFS: returns (dist_df(lm, id, d), metrics,
+    depth). Used by harmonic_centrality and closeness_centrality."""
     spark = g.spark
     shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     e = g.edges.where(F.col("src") != F.col("dst")) \
@@ -431,6 +423,23 @@ def harmonic_centrality(g: Graph, landmarks: list[int],
         dist = dist.unionByName(reached).localCheckpoint(eager=True)
         frontier = reached
     e.unpersist()
+    return dist, metrics, depth
+
+
+def harmonic_centrality(g: Graph, landmarks: list[int],
+                        directed: bool = True,
+                        max_depth: int = 200) -> StructureResult:
+    """Harmonic centrality h(v) = sum over landmarks u != v reaching v of
+    1/d(u, v), via one multi-landmark BFS with (lm, id) composite keys.
+
+    Exact centrality when ``landmarks`` = all vertices; a uniform landmark
+    sample gives the Eppstein–Wang estimate scaled by |V|/|landmarks| (the
+    caller scales). Returns (id, harmonic) over the dense vertex space.
+    """
+    if not landmarks:
+        raise ValueError("harmonic_centrality needs at least one landmark")
+    dist, metrics, depth = _landmark_distances(g, landmarks, directed,
+                                               max_depth)
     h = (
         dist.where(F.col("d") > 0)
         .groupBy("id")
@@ -756,3 +765,31 @@ def assortativity(g: Graph) -> DataFrame:
     import pandas as pd
     return g.spark.createDataFrame(pd.DataFrame(
         {"r": [round(r, 8)], "n_stubs": [n]}))
+
+
+def closeness_centrality(g: Graph, landmarks: list[int],
+                         directed: bool = True,
+                         max_depth: int = 200) -> StructureResult:
+    """Incoming closeness c(v) = (r_v - 1) / S_v, where r_v = number of
+    landmarks reaching v (v itself included when it is a landmark) and
+    S_v = sum of those distances; 0.0 when nothing else reaches v. Exact
+    when ``landmarks`` = all vertices. Same single multi-landmark BFS as
+    harmonic_centrality — only the final aggregate differs."""
+    if not landmarks:
+        raise ValueError("closeness_centrality needs at least one landmark")
+    dist, metrics, depth = _landmark_distances(g, landmarks, directed,
+                                               max_depth)
+    c = (
+        dist.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("r"), F.sum("d").alias("s"))
+        .select("id",
+                F.when(F.col("s") > 0,
+                       (F.col("r") - 1) / F.col("s"))
+                .otherwise(F.lit(0.0)).alias("closeness"))
+    )
+    out = (
+        g.vertices().join(c, "id", "left")
+        .select("id",
+                F.coalesce("closeness", F.lit(0.0)).alias("closeness"))
+    )
+    return StructureResult(df=out, iterations=depth, metrics=metrics)

@@ -755,3 +755,36 @@ def assortativity(src, dst, n):
     den = ns * sxx - sx * sx
     r = float(ns * sxy - sx * sx) / den if den else 0.0
     return round(r, 8), ns
+
+
+def closeness_centrality(src, dst, n, landmarks, directed=True):
+    """(r_v - 1)/S_v over landmark distances (v included when landmark)."""
+    out = [0.0] * n
+    r = [0] * n
+    s = [0] * n
+    for lm in sorted(set(landmarks)):
+        d = bfs_distances(src, dst, n, [lm], directed=directed)
+        for v in range(n):
+            if d[v] >= 0:
+                r[v] += 1
+                s[v] += d[v]
+    for v in range(n):
+        out[v] = (r[v] - 1) / s[v] if s[v] > 0 else 0.0
+    return out
+
+
+def trust_rank(src, dst, n, weights, damping=0.85, num_iters=20):
+    """Weighted-teleport PageRank (operators/centrality.trust_rank);
+    ``weights`` is {id: w}, normalized internally."""
+    total = float(sum(weights.values()))
+    p = np.zeros(n)
+    for v, w in weights.items():
+        p[v] = w / total
+    deg = out_degrees(src, n)
+    x = p.copy()
+    for _ in range(num_iters):
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, x[src] / deg[src])
+        dang = x[deg == 0].sum()
+        x = (1.0 - damping) * p + damping * (contrib + dang * p)
+    return x

@@ -755,6 +755,30 @@ def _q_ktruss_nation(spark, sf_dir):
     return k_truss(nation_trade_graph(spark, sf_dir), k=6).df
 
 
+def _q_closeness_nation(spark, sf_dir):
+    """Exact incoming closeness (landmarks = all nations) via one
+    multi-landmark BFS (structure.closeness_centrality)."""
+    from .operators.structure import closeness_centrality
+    g = nation_trade_graph(spark, sf_dir)
+    res = closeness_centrality(g, list(range(g.num_vertices)),
+                               directed=True)
+    return res.df.select("id", F.round("closeness", 8).alias("closeness"))
+
+
+def _q_trustrank_nation(spark, sf_dir):
+    """TrustRank: weighted-teleport PageRank whose teleport weights are a
+    deterministic per-seed expression (w = 1 + id % 3 on even ids), so the
+    DuckDB twin reproduces them (centrality.trust_rank)."""
+    from .operators.centrality import trust_rank
+    g = nation_trade_graph(spark, sf_dir)
+    wdf = (
+        g.vertices().where(F.col("id") % 2 == 0)
+        .select("id", (F.lit(1.0) + F.col("id") % 3).alias("weight"))
+    )
+    res = trust_rank(g, wdf, damping=DAMPING, num_iters=20)
+    return res.df.select("id", F.round("rank", 8).alias("rank"))
+
+
 def _q_modularity_nation(spark, sf_dir):
     """Per-community modularity terms of the LP-5 communities on the
     undirected nation graph (structure.modularity)."""
@@ -1001,6 +1025,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ktruss_nation": _q_ktruss_nation,
     "modularity_nation": _q_modularity_nation,
     "assortativity_nation": _q_assortativity_nation,
+    "closeness_nation": _q_closeness_nation,
+    "trustrank_nation": _q_trustrank_nation,
     "multimodal_metadata": _q_multimodal_metadata,
     "multimodal_features": _q_multimodal_features,
     "frame_sample_plan": _q_frame_sample_plan,
@@ -1338,6 +1364,12 @@ ORACLES: dict[str, str] = {
     "modularity_nation": SQ.modularity_sql(
         NATION_EDGES_SQL, lp_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, 5)),
     "assortativity_nation": SQ.assortativity_sql(NATION_EDGES_SQL),
+    "closeness_nation": SQ.closeness_sql(NATION_EDGES_SQL, NATION_VERTS_SQL),
+    "trustrank_nation": SQ.trust_rank_sql(
+        NATION_EDGES_SQL, NATION_VERTS_SQL,
+        f"SELECT id, 1.0 + id % 3 AS weight FROM ({NATION_VERTS_SQL}) "
+        "WHERE id % 2 = 0",
+        20, damping=DAMPING),
     "anchor_text_index": f"""
         WITH a AS (
             SELECT t.z[1] AS dst_url, t.z[2] AS anchor

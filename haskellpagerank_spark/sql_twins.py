@@ -856,3 +856,64 @@ def assortativity_sql(edges_sql: str, round_to: int = 8) -> str:
                n AS n_stubs
         FROM agg
     """
+
+
+def closeness_sql(edges_sql: str, verts_sql: str, round_to: int = 8,
+                  max_depth: int = 50) -> str:
+    """Incoming closeness (r-1)/S over the all-landmark BFS (matches
+    operators.structure.closeness_centrality)."""
+    return f"""
+        WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ({edges_sql})
+                             WHERE src <> dst),
+        r(lm, id, d) AS (
+            SELECT id, id, CAST(0 AS BIGINT) FROM ({verts_sql})
+            UNION
+            SELECT r.lm, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id
+            WHERE r.d < {max_depth}
+        ),
+        m AS (SELECT lm, id, MIN(d) AS d FROM r GROUP BY 1, 2),
+        c AS (SELECT id, COUNT(*) AS rr, SUM(d) AS s FROM m GROUP BY 1)
+        SELECT v.id, ROUND(CASE WHEN COALESCE(c.s, 0) > 0
+                    THEN CAST(c.rr - 1 AS DOUBLE) / c.s
+                    ELSE 0.0 END, {round_to}) AS closeness
+        FROM ({verts_sql}) v LEFT JOIN c ON v.id = c.id
+    """
+
+
+def trust_rank_sql(edges_sql: str, verts_sql: str, weights_sql: str,
+                   iters: int, damping: float = 0.85,
+                   round_to: int = 8) -> str:
+    """Unrolled weighted-teleport PageRank (TrustRank); ``weights_sql``
+    yields (id, weight) — matches operators.centrality.trust_rank."""
+    ctes = [
+        f"verts AS MATERIALIZED ({verts_sql})",
+        f"wt AS MATERIALIZED ({weights_sql})",
+        "tot AS MATERIALIZED (SELECT SUM(weight) AS t FROM wt)",
+        f"e AS MATERIALIZED (SELECT src, dst, COUNT(*) AS cnt "
+        f"FROM ({edges_sql}) WHERE src <> dst GROUP BY 1, 2)",
+        "deg AS MATERIALIZED (SELECT src, SUM(cnt) AS deg FROM e GROUP BY 1)",
+        "w AS MATERIALIZED (SELECT e.src, e.dst, "
+        "CAST(e.cnt AS DOUBLE) / deg.deg AS w "
+        "FROM e JOIN deg ON e.src = deg.src)",
+        "p AS MATERIALIZED (SELECT v.id, "
+        "COALESCE(wt.weight, 0.0) / (SELECT t FROM tot) AS p "
+        "FROM verts v LEFT JOIN wt ON v.id = wt.id)",
+        "r0 AS MATERIALIZED (SELECT id, p AS rank FROM p)",
+    ]
+    for i in range(1, iters + 1):
+        pi = i - 1
+        ctes += [
+            f"dang{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) "
+            f"AS m FROM r{pi} r LEFT JOIN deg ON r.id = deg.src "
+            "WHERE deg.src IS NULL)",
+            f"m{i} AS MATERIALIZED (SELECT w.dst AS id, "
+            f"SUM(w.w * r.rank) AS msg FROM w JOIN r{pi} r ON w.src = r.id "
+            "GROUP BY 1)",
+            f"r{i} AS MATERIALIZED (SELECT v.id, "
+            f"(1.0 - {damping}) * p.p + {damping} * "
+            f"(COALESCE(m.msg, 0.0) + (SELECT m FROM dang{i}) * p.p) AS rank "
+            f"FROM verts v JOIN p ON v.id = p.id "
+            f"LEFT JOIN m{i} m ON v.id = m.id)",
+        ]
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, ROUND(rank, {round_to}) AS rank FROM r{iters}")

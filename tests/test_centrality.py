@@ -93,3 +93,36 @@ def test_k_core_empty_when_k_too_large(spark):
     g = from_pairs(spark, FIXTURE_EDGES["doubleSquare"])
     res = k_core(g, 100)
     assert res.df.count() == 0
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_trust_rank_matches_oracle(spark, name):
+    from haskellpagerank_spark.operators.centrality import trust_rank
+    src, dst, n = _arrays(name)
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    weights = {v: 1.0 + v % 3 for v in range(0, n, 2)}
+    wdf = g.spark.createDataFrame(
+        [(v, w) for v, w in weights.items()], "id long, weight double")
+    res = trust_rank(g, wdf, damping=0.85, num_iters=15)
+    got = {r["id"]: r["rank"] for r in res.df.collect()}
+    want = oracle.trust_rank(src, dst, n, weights, num_iters=15)
+    np.testing.assert_allclose(
+        np.array([got[v] for v in range(n)]), want, atol=1e-12)
+
+
+def test_trust_rank_uniform_seeds_equals_ppr(spark):
+    from haskellpagerank_spark.operators.centrality import (
+        personalized_pagerank, trust_rank)
+    name = FIXTURES[0]
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    src, dst, n = _arrays(name)
+    seeds = [0, n // 2]
+    wdf = g.spark.createDataFrame(
+        [(s, 1.0) for s in seeds], "id long, weight double")
+    tr = {r["id"]: r["rank"]
+          for r in trust_rank(g, wdf, num_iters=10).df.collect()}
+    pr = {r["id"]: r["rank"]
+          for r in personalized_pagerank(g, seeds, num_iters=10)
+          .df.collect()}
+    for v in range(n):
+        assert tr[v] == pytest.approx(pr[v], abs=1e-12)

@@ -264,3 +264,19 @@ def test_assortativity_star_is_negative(spark):
     from haskellpagerank_spark.operators.structure import assortativity
     g = from_pairs(spark, [(0, i) for i in range(1, 8)])
     assert assortativity(g).first()["r"] == pytest.approx(-1.0)
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+@pytest.mark.parametrize("directed", [True, False])
+def test_closeness_matches_oracle(spark, name, directed):
+    from haskellpagerank_spark.operators.structure import (
+        closeness_centrality)
+    src, dst, n = _arrays(name)
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    res = closeness_centrality(g, list(range(n)), directed=directed)
+    got = {r["id"]: r["closeness"] for r in res.df.collect()}
+    want = oracle.closeness_centrality(src, dst, n, list(range(n)),
+                                       directed=directed)
+    assert set(got) == set(range(n))
+    np.testing.assert_allclose(
+        np.array([got[v] for v in range(n)]), np.array(want), atol=1e-9)
