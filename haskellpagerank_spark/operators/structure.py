@@ -793,3 +793,40 @@ def closeness_centrality(g: Graph, landmarks: list[int],
                 F.coalesce("closeness", F.lit(0.0)).alias("closeness"))
     )
     return StructureResult(df=out, iterations=depth, metrics=metrics)
+
+
+def jaccard_neighbors(g: Graph, min_common: int = 1,
+                      max_fanout: int = 10_000) -> DataFrame:
+    """Jaccard neighbor similarity over the undirected simple graph:
+    (a, b, common, jac) with jac = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|, pairs
+    generated through common neighbors (middles guarded by ``max_fanout``
+    like adamic_adar — guarded middles undercount the intersection, a
+    documented recall bound; degrees stay exact). The union size comes
+    from deg(a) + deg(b) - common, so no second pair join is needed."""
+    und = undirected_simple_edges(g)
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    mid = (
+        und.join(deg.withColumnRenamed("id", "src")
+                 .withColumnRenamed("deg", "zdeg"), "src")
+        .where((F.col("zdeg") >= 2) & (F.col("zdeg") <= max_fanout))
+    )
+    m1, m2 = mid.alias("m1"), mid.alias("m2")
+    pairs = (
+        m1.join(m2, F.col("m1.src") == F.col("m2.src"))
+        .where(F.col("m1.dst") < F.col("m2.dst"))
+        .groupBy(F.col("m1.dst").alias("a"), F.col("m2.dst").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    return (
+        pairs
+        .join(deg.withColumnRenamed("id", "a")
+              .withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("id", "b")
+              .withColumnRenamed("deg", "db"), "b")
+        .select("a", "b", "common",
+                F.round(F.col("common")
+                        / (F.col("da") + F.col("db") - F.col("common")),
+                        8).alias("jac"))
+    )

@@ -788,3 +788,56 @@ def trust_rank(src, dst, n, weights, damping=0.85, num_iters=20):
         dang = x[deg == 0].sum()
         x = (1.0 - damping) * p + damping * (contrib + dang * p)
     return x
+
+
+def salsa(src, dst, n, num_iters=10):
+    """SALSA hub/authority half-steps (operators/centrality.salsa)."""
+    e = sorted({(s, d) for s, d in zip(src.tolist(), dst.tolist())
+                if s != d})
+    outdeg = {}
+    indeg = {}
+    for s, d in e:
+        outdeg[s] = outdeg.get(s, 0) + 1
+        indeg[d] = indeg.get(d, 0) + 1
+    n_auth = len(indeg)
+    a = {v: 1.0 / max(n_auth, 1) for v in indeg}
+    h = {}
+    for _ in range(num_iters):
+        h = {}
+        for s, d in e:
+            h[s] = h.get(s, 0.0) + a.get(d, 0.0) / indeg[d]
+        a = {}
+        for s, d in e:
+            a[d] = a.get(d, 0.0) + h.get(s, 0.0) / outdeg[s]
+    hub = np.zeros(n)
+    auth = np.zeros(n)
+    for v, x in h.items():
+        hub[v] = x
+    for v, x in a.items():
+        auth[v] = x
+    return hub, auth
+
+
+def jaccard_neighbors(src, dst, n, min_common=1, max_fanout=10_000):
+    """{(a, b): (common, jac)} — |N∩|/|N∪| over undirected neighbors,
+    middles guarded like adamic_adar, degrees from the full graph."""
+    nbrs = [set() for _ in range(n)]
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    deg = [len(x) for x in nbrs]
+    common = {}
+    for z in range(n):
+        if deg[z] < 2 or deg[z] > max_fanout:
+            continue
+        ns = sorted(nbrs[z])
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                key = (ns[i], ns[j])
+                common[key] = common.get(key, 0) + 1
+    out = {}
+    for (a, b), c in common.items():
+        if c >= min_common:
+            out[(a, b)] = (c, round(c / (deg[a] + deg[b] - c), 8))
+    return out

@@ -779,6 +779,24 @@ def _q_trustrank_nation(spark, sf_dir):
     return res.df.select("id", F.round("rank", 8).alias("rank"))
 
 
+def _q_salsa_nation(spark, sf_dir):
+    """SALSA hub/authority scores, 8 stochastic half-step sweeps
+    (centrality.salsa)."""
+    from .operators.centrality import salsa
+    res = salsa(nation_trade_graph(spark, sf_dir), num_iters=8)
+    return res.df.select(
+        "id", F.round("hub", 8).alias("hub"),
+        F.round("authority", 8).alias("authority"))
+
+
+def _q_jaccard_neighbors_nation(spark, sf_dir):
+    """Jaccard neighbor-similarity pairs with >= 3 common neighbors
+    (structure.jaccard_neighbors)."""
+    from .operators.structure import jaccard_neighbors
+    return jaccard_neighbors(nation_trade_graph(spark, sf_dir),
+                             min_common=3)
+
+
 def _q_modularity_nation(spark, sf_dir):
     """Per-community modularity terms of the LP-5 communities on the
     undirected nation graph (structure.modularity)."""
@@ -1027,6 +1045,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "assortativity_nation": _q_assortativity_nation,
     "closeness_nation": _q_closeness_nation,
     "trustrank_nation": _q_trustrank_nation,
+    "salsa_nation": _q_salsa_nation,
+    "jaccard_neighbors_nation": _q_jaccard_neighbors_nation,
     "multimodal_metadata": _q_multimodal_metadata,
     "multimodal_features": _q_multimodal_features,
     "frame_sample_plan": _q_frame_sample_plan,
@@ -1370,6 +1390,9 @@ ORACLES: dict[str, str] = {
         f"SELECT id, 1.0 + id % 3 AS weight FROM ({NATION_VERTS_SQL}) "
         "WHERE id % 2 = 0",
         20, damping=DAMPING),
+    "salsa_nation": SQ.salsa_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, 8),
+    "jaccard_neighbors_nation": SQ.jaccard_neighbors_sql(
+        NATION_EDGES_SQL, min_common=3),
     "anchor_text_index": f"""
         WITH a AS (
             SELECT t.z[1] AS dst_url, t.z[2] AS anchor

@@ -917,3 +917,62 @@ def trust_rank_sql(edges_sql: str, verts_sql: str, weights_sql: str,
         ]
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT id, ROUND(rank, {round_to}) AS rank FROM r{iters}")
+
+
+def salsa_sql(edges_sql: str, verts_sql: str, iters: int,
+              round_to: int = 8) -> str:
+    """Unrolled SALSA half-steps (matches operators.centrality.salsa)."""
+    ctes = [
+        f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}) "
+        "WHERE src <> dst)",
+        "od AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e "
+        "GROUP BY 1)",
+        "ind AS MATERIALIZED (SELECT dst, COUNT(*) AS indeg FROM e "
+        "GROUP BY 1)",
+        "a0 AS MATERIALIZED (SELECT dst AS id, "
+        "1.0 / (SELECT COUNT(*) FROM ind) AS s FROM ind)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes += [
+            f"h{i} AS MATERIALIZED (SELECT e.src AS id, "
+            f"SUM(a.s / ind.indeg) AS s FROM e "
+            f"JOIN a{p} a ON e.dst = a.id "
+            "JOIN ind ON e.dst = ind.dst GROUP BY 1)",
+            f"a{i} AS MATERIALIZED (SELECT e.dst AS id, "
+            f"SUM(h.s / od.outdeg) AS s FROM e "
+            f"JOIN h{i} h ON e.src = h.id "
+            "JOIN od ON e.src = od.src GROUP BY 1)",
+        ]
+    return ("WITH " + ",\n".join(ctes)
+            + f"""
+        SELECT v.id, ROUND(COALESCE(h.s, 0.0), {round_to}) AS hub,
+               ROUND(COALESCE(a.s, 0.0), {round_to}) AS authority
+        FROM ({verts_sql}) v
+        LEFT JOIN h{iters} h ON v.id = h.id
+        LEFT JOIN a{iters} a ON v.id = a.id""")
+
+
+def jaccard_neighbors_sql(edges_sql: str, min_common: int = 1,
+                          max_fanout: int = 10_000,
+                          round_to: int = 8) -> str:
+    """Jaccard neighbor-similarity pairs (matches operators.structure
+    .jaccard_neighbors)."""
+    return f"""
+        WITH e0 AS ({edges_sql}),
+        und AS (SELECT DISTINCT src, dst FROM
+                (SELECT src, dst FROM e0 WHERE src <> dst
+                 UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),
+        deg AS (SELECT src AS id, COUNT(*) AS deg FROM und GROUP BY 1),
+        mid AS (SELECT u.src, u.dst FROM und u JOIN deg d ON u.src = d.id
+                WHERE d.deg BETWEEN 2 AND {max_fanout}),
+        pairs AS (SELECT m1.dst AS a, m2.dst AS b, COUNT(*) AS common
+                  FROM mid m1 JOIN mid m2
+                    ON m1.src = m2.src AND m1.dst < m2.dst
+                  GROUP BY 1, 2
+                  HAVING COUNT(*) >= {min_common})
+        SELECT p.a, p.b, p.common,
+               ROUND(CAST(p.common AS DOUBLE)
+                     / (da.deg + db.deg - p.common), {round_to}) AS jac
+        FROM pairs p JOIN deg da ON p.a = da.id JOIN deg db ON p.b = db.id
+    """

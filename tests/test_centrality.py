@@ -126,3 +126,27 @@ def test_trust_rank_uniform_seeds_equals_ppr(spark):
           .df.collect()}
     for v in range(n):
         assert tr[v] == pytest.approx(pr[v], abs=1e-12)
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_salsa_matches_oracle(spark, name):
+    from haskellpagerank_spark.operators.centrality import salsa
+    src, dst, n = _arrays(name)
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    res = salsa(g, num_iters=8)
+    rows = {r["id"]: (r["hub"], r["authority"]) for r in res.df.collect()}
+    hub, auth = oracle.salsa(src, dst, n, num_iters=8)
+    np.testing.assert_allclose(
+        np.array([rows[v][0] for v in range(n)]), hub, atol=1e-12)
+    np.testing.assert_allclose(
+        np.array([rows[v][1] for v in range(n)]), auth, atol=1e-12)
+
+
+def test_salsa_mass_conservation(spark):
+    from haskellpagerank_spark.operators.centrality import salsa
+    # the walk is stochastic: authority mass stays 1 every sweep
+    name = FIXTURES[0]
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    res = salsa(g, num_iters=5)
+    total = res.df.agg({"authority": "sum"}).first()[0]
+    assert total == pytest.approx(1.0, abs=1e-9)

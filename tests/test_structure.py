@@ -280,3 +280,13 @@ def test_closeness_matches_oracle(spark, name, directed):
     assert set(got) == set(range(n))
     np.testing.assert_allclose(
         np.array([got[v] for v in range(n)]), np.array(want), atol=1e-9)
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_jaccard_neighbors_matches_oracle(spark, name):
+    from haskellpagerank_spark.operators.structure import jaccard_neighbors
+    src, dst, n = _arrays(name)
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    got = {(r["a"], r["b"]): (r["common"], r["jac"])
+           for r in jaccard_neighbors(g).collect()}
+    assert got == oracle.jaccard_neighbors(src, dst, n)
