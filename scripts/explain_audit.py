@@ -265,6 +265,45 @@ def main() -> int:
         must_not=["BatchEvalPython", "CartesianProduct"],
     )
 
+    # 14. ANF sweep: edge join + two-phase bit_or agg on (id, k) — all
+    #     codegen'd integer intrinsics, no python
+    from haskellpagerank_spark.operators.anf import fm_sketches
+    ng = nation_trade_graph(spark, sf_dir)
+    st = fm_sketches(ng, 8, 42)
+    anf_sweep = (
+        ng.edges.join(st.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(F.col("src").alias("id"), "k")
+        .agg(F.bit_or("s").alias("m"))
+    )
+    audit(
+        "ANF union sweep — bit_or two-phase agg, codegen integer ops",
+        anf_sweep,
+        must=["HashAggregate", "Exchange"],
+        must_not=["BatchEvalPython", "ArrowEvalPython"],
+    )
+
+    # 15. random-walk step: composite-key (src, idx) equi-join — one
+    #     adjacency row per walk per step, no expansion over neighbor lists
+    from haskellpagerank_spark.operators.walks import (
+        _pick_hash, indexed_adjacency)
+    adj = indexed_adjacency(ng)
+    frontier2 = ng.vertices().select(
+        F.col("id").alias("walk_id"), F.col("id").alias("src"))
+    step = (
+        frontier2
+        .join(adj.select("src", "outdeg").dropDuplicates(["src"]), "src")
+        .select("walk_id", "src",
+                (_pick_hash(42, F.col("walk_id"), 1)
+                 % F.col("outdeg")).alias("idx"))
+        .join(adj.select("src", "idx", "dst"), ["src", "idx"])
+    )
+    audit(
+        "random-walk step — composite-key equi-join, no neighbor expansion",
+        step,
+        must=["WholeStageCodegen"],
+        must_not=["BatchEvalPython", "CartesianProduct"],
+    )
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

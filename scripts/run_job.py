@@ -198,6 +198,34 @@ def main() -> None:
         out = random_walks(g, walk_length=args.num_iters or 5,
                            seed=args.seed)
         summary = {"n_walk_steps": out.count()}
+    elif m == "salsa":
+        from haskellpagerank_spark.operators.centrality import salsa
+        res = salsa(g, num_iters=args.num_iters or 10)
+        out, iters = res.df, res.iterations
+        summary = {"auth_sum": out.agg({"authority": "sum"}).first()[0]}
+    elif m == "anf":
+        from haskellpagerank_spark.operators.anf import anf
+        res = anf(g, radius=args.num_iters or 8)
+        out, iters = res.df, res.iterations
+        summary = {"nf": [m_.extra["nf_sum"] for m_ in res.metrics]}
+    elif m in ("betweenness", "harmonic", "closeness"):
+        # landmark set: all vertices up to 1024, else the first 1024 ids
+        # (sampled-landmark estimate; exact on small graphs)
+        lms = list(range(min(g.num_vertices, 1024)))
+        if m == "betweenness":
+            from haskellpagerank_spark.operators.betweenness import (
+                betweenness)
+            res = betweenness(g, lms)
+        elif m == "harmonic":
+            from haskellpagerank_spark.operators.structure import (
+                harmonic_centrality)
+            res = harmonic_centrality(g, lms)
+        else:
+            from haskellpagerank_spark.operators.structure import (
+                closeness_centrality)
+            res = closeness_centrality(g, lms)
+        out, iters = res.df, res.iterations
+        summary = {"n_landmarks": len(lms)}
     else:
         raise SystemExit(f"unknown method {m!r} (see --help)")
     run_s = time.monotonic() - t0
