@@ -139,3 +139,31 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     return docs.select(
         F.col(id_col), F.md5(norm).alias("fingerprint"),
     )
+
+
+def ngram_counts(docs: DataFrame, n: int = 3, min_count: int = 2,
+                 text_col: str = "text") -> DataFrame:
+    """Corpus-level word n-gram counts: (ngram, cnt) with cnt >= min_count.
+
+    The training-data-pipeline staple behind count-based LM statistics and
+    train/eval contamination checks (exact n-gram overlap). Tokenization is
+    the engine's whitespace rule (``tokens`` — same twin as token_stats);
+    n-grams come from slice+transform over the token array, all inside
+    whole-stage codegen; the only shuffle is the final (ngram) count agg,
+    map-side combined. Empty/short docs contribute nothing.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return (
+        docs.where(F.length(F.trim(F.col(text_col))) > 0)
+        .where(F.size(toks) >= n)
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )

@@ -897,6 +897,14 @@ def _q_anchor_text_index(spark, sf_dir):
     return anchor_text_index(pages, min_count=2)
 
 
+def _q_ngram_counts(spark, sf_dir):
+    """Corpus trigram counts with cnt >= 2 over documents — LM statistics
+    / contamination-check staple (functions.text.ngram_counts)."""
+    from .functions.text import ngram_counts
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_counts(docs, n=3, min_count=2)
+
+
 def _q_multimodal_metadata(spark, sf_dir):
     from .functions.multimodal import attach_media_metadata
     return attach_media_metadata(_media(spark, sf_dir)).select(
@@ -1038,6 +1046,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_summary_nation": _q_graph_summary_nation,
     "walks_nation": _q_walks_nation,
     "anchor_text_index": _q_anchor_text_index,
+    "ngram_counts": _q_ngram_counts,
     "anf_nation": _q_anf_nation,
     "betweenness_nation": _q_betweenness_nation,
     "ktruss_nation": _q_ktruss_nation,
@@ -1376,6 +1385,7 @@ ORACLES: dict[str, str] = {
                                                  NATION_VERTS_SQL),
     "walks_nation": _walks_sql_twin(),
     "anf_nation": _anf_sql_twin(),
+    "ngram_counts": SQ.ngram_counts_sql(3, 2),
     "betweenness_nation": SQ.betweenness_sql_twin(NATION_EDGES_SQL,
                                                   NATION_VERTS_SQL),
     # measured peel depth at sf0.01 is 3 rounds; 8 gives slack (extra

@@ -976,3 +976,17 @@ def jaccard_neighbors_sql(edges_sql: str, min_common: int = 1,
                      / (da.deg + db.deg - p.common), {round_to}) AS jac
         FROM pairs p JOIN deg da ON p.a = da.id JOIN deg db ON p.b = db.id
     """
+
+
+def ngram_counts_sql(n: int, min_count: int = 2) -> str:
+    """Corpus n-gram counts over ``documents`` (matches functions.text
+    .ngram_counts; same whitespace tokenizer twin as token_stats)."""
+    return f"""
+        WITH t AS (SELECT string_split_regex(trim(text), '\\s+') AS toks
+                   FROM documents WHERE length(trim(text)) > 0),
+        g AS (SELECT array_to_string(toks[i:i+{n - 1}], ' ') AS ngram
+              FROM t, UNNEST(range(1, len(toks) - {n - 1} + 1)) AS u(i)
+              WHERE len(toks) >= {n})
+        SELECT ngram, COUNT(*) AS cnt FROM g
+        GROUP BY 1 HAVING COUNT(*) >= {min_count}
+    """
