@@ -243,3 +243,65 @@ def _superstep(ew: DataFrame, base: DataFrame, ranks: DataFrame,
 def top_k(ranks: DataFrame, k: int = 20) -> DataFrame:
     """Top-k vertices by rank (deterministic tie-break on id)."""
     return ranks.orderBy(F.desc("rank"), F.asc("id")).limit(k)
+
+
+def run_pagerank_weighted_table(edges: DataFrame,
+                                damping: float = 0.85,
+                                num_iters: int = 10,
+                                src_col: str = "src", dst_col: str = "dst",
+                                weight_col: str = "weight") -> DataFrame:
+    """PageRank over an arbitrary weighted edge table — vertices keyed by
+    ANY join-able type (e.g. host strings from the domain rollup), no
+    dense-id contract. Transition weight = weight / Σ weight out of src;
+    uniform teleport; dangling mass redistributed uniformly. Fixed-sweep,
+    deterministic. Returns (vertex, rank).
+
+    The host-rank composition: roll the url graph up to hosts (weight =
+    link count), then rank hosts — the standard web-scale move before
+    per-url analytics. Same superstep plan shape as run_pagerank
+    (|V|-row rank shuffle per sweep against a persisted normalized edge
+    table)."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    ).where(F.col("src") != F.col("dst"))
+    out_w = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    wn = e.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("ow")).alias("wn")).persist()
+    wn.count()
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .unionAll(e.select(F.col("dst").alias("vertex")))
+        .dropDuplicates()
+        .join(out_w.select(F.col("src").alias("vertex"),
+                           F.lit(True).alias("has_out")), "vertex", "left")
+        .select("vertex", F.coalesce("has_out", F.lit(False)).alias("has_out"))
+        .persist()
+    )
+    n = verts.count()
+    d = damping
+    ranks = verts.select("vertex", F.lit(1.0 / n).alias("rank")) \
+        .localCheckpoint(eager=True)
+    for _ in range(num_iters):
+        msgs = (
+            wn.join(ranks.withColumnRenamed("vertex", "src"), "src")
+            .groupBy(F.col("dst").alias("vertex"))
+            .agg(F.sum(F.col("wn") * F.col("rank")).alias("msg"))
+        )
+        dangling = (
+            ranks.join(verts.where(~F.col("has_out")), "vertex")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+        )
+        ranks = (
+            verts.join(msgs, "vertex", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "vertex",
+                (F.lit((1.0 - d) / n)
+                 + F.lit(d) * (F.coalesce("msg", F.lit(0.0))
+                               + F.col("_dang") / n)).alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+    wn.unpersist()
+    verts.unpersist()
+    return ranks

@@ -905,6 +905,37 @@ def _q_ngram_counts(spark, sf_dir):
     return ngram_counts(docs, n=3, min_count=2)
 
 
+def _q_domain_pagerank(spark, sf_dir):
+    """Host-level PageRank: url graph -> weighted host rollup -> weighted
+    PageRank over host-string vertices (no dense-id contract) — the
+    standard pre-aggregation before per-url analytics at web scale.
+    Handoff parquet lets the DuckDB twin rerun the whole composition."""
+    from .operators.pagerank import run_pagerank_weighted_table
+    from .sources.pages import build_graph, generate_pages
+    pages = generate_pages(spark, num_pages=2000, seed=42, avg_links=6)
+    g, vertices = build_graph(pages)
+    g.edges.write.mode("overwrite").parquet(
+        f"{SQ.HANDOFF_DIR}/dpr_edges.parquet")
+    vertices.write.mode("overwrite").parquet(
+        f"{SQ.HANDOFF_DIR}/dpr_vertices.parquet")
+    hosts = vertices.select(
+        "id", F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("host"))
+    rolled = (
+        g.edges
+        .join(hosts.select(F.col("id").alias("src"),
+                           F.col("host").alias("src_host")), "src")
+        .join(hosts.select(F.col("id").alias("dst"),
+                           F.col("host").alias("dst_host")), "dst")
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    ranks = run_pagerank_weighted_table(
+        rolled, damping=DAMPING, num_iters=10,
+        src_col="src_host", dst_col="dst_host")
+    return ranks.select(F.col("vertex").alias("host"),
+                        F.round("rank", 8).alias("rank"))
+
+
 def _q_multimodal_metadata(spark, sf_dir):
     from .functions.multimodal import attach_media_metadata
     return attach_media_metadata(_media(spark, sf_dir)).select(
@@ -1047,6 +1078,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "walks_nation": _q_walks_nation,
     "anchor_text_index": _q_anchor_text_index,
     "ngram_counts": _q_ngram_counts,
+    "domain_pagerank": _q_domain_pagerank,
     "anf_nation": _q_anf_nation,
     "betweenness_nation": _q_betweenness_nation,
     "ktruss_nation": _q_ktruss_nation,
@@ -1386,6 +1418,18 @@ ORACLES: dict[str, str] = {
     "walks_nation": _walks_sql_twin(),
     "anf_nation": _anf_sql_twin(),
     "ngram_counts": SQ.ngram_counts_sql(3, 2),
+    "domain_pagerank": ("SELECT vertex AS host, rank FROM ({q})".format(
+        q=SQ.weighted_pagerank_sql(f"""
+        WITH v AS (SELECT id,
+                        regexp_extract(url, '^https?://([^/]+)/', 1) AS host
+                   FROM read_parquet(
+                       '{SQ.HANDOFF_DIR}/dpr_vertices.parquet/*.parquet')),
+        ee AS (SELECT src, dst FROM read_parquet(
+                  '{SQ.HANDOFF_DIR}/dpr_edges.parquet/*.parquet'))
+        SELECT vs.host AS src, vd.host AS dst, COUNT(*) AS weight
+        FROM ee JOIN v vs ON ee.src = vs.id JOIN v vd ON ee.dst = vd.id
+        GROUP BY 1, 2
+        """, iters=10, damping=DAMPING))),
     "betweenness_nation": SQ.betweenness_sql_twin(NATION_EDGES_SQL,
                                                   NATION_VERTS_SQL),
     # measured peel depth at sf0.01 is 3 rounds; 8 gives slack (extra

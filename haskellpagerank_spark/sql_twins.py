@@ -990,3 +990,44 @@ def ngram_counts_sql(n: int, min_count: int = 2) -> str:
         SELECT ngram, COUNT(*) AS cnt FROM g
         GROUP BY 1 HAVING COUNT(*) >= {min_count}
     """
+
+
+def weighted_pagerank_sql(edges_sql: str, iters: int,
+                          damping: float = 0.85,
+                          round_to: int = 8) -> str:
+    """Unrolled weighted-table PageRank (matches operators.pagerank
+    .run_pagerank_weighted_table); ``edges_sql`` yields
+    (src, dst, weight) with any join-able vertex type."""
+    ctes = [
+        f"e AS MATERIALIZED (SELECT src, dst, CAST(weight AS DOUBLE) AS w "
+        f"FROM ({edges_sql}) WHERE src <> dst)",
+        "ow AS MATERIALIZED (SELECT src, SUM(w) AS ow FROM e GROUP BY 1)",
+        "wn AS MATERIALIZED (SELECT e.src, e.dst, e.w / ow.ow AS wn "
+        "FROM e JOIN ow ON e.src = ow.src)",
+        "verts AS MATERIALIZED (SELECT DISTINCT vertex FROM ("
+        "SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e))",
+        "hv AS MATERIALIZED (SELECT v.vertex, ow.src IS NOT NULL AS has_out "
+        "FROM verts v LEFT JOIN ow ON v.vertex = ow.src)",
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n "
+        "FROM verts)",
+        "r0 AS MATERIALIZED (SELECT vertex, 1.0 / (SELECT n FROM nn) "
+        "AS rank FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes += [
+            f"dang{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) "
+            f"AS m FROM r{p} r JOIN hv ON r.vertex = hv.vertex "
+            "WHERE NOT hv.has_out)",
+            f"m{i} AS MATERIALIZED (SELECT wn.dst AS vertex, "
+            f"SUM(wn.wn * r.rank) AS msg FROM wn JOIN r{p} r "
+            "ON wn.src = r.vertex GROUP BY 1)",
+            f"r{i} AS MATERIALIZED (SELECT v.vertex, "
+            f"(1.0 - {damping}) / (SELECT n FROM nn) + {damping} * "
+            f"(COALESCE(m.msg, 0.0) + (SELECT m FROM dang{i}) "
+            "/ (SELECT n FROM nn)) AS rank "
+            f"FROM verts v LEFT JOIN m{i} m ON v.vertex = m.vertex)",
+        ]
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT vertex, ROUND(rank, {round_to}) AS rank "
+            f"FROM r{iters}")
