@@ -169,3 +169,17 @@ def src_frequencies(edges: DataFrame) -> DataFrame:
     caller's ORDER BY (kept out of the operator so Catalyst can drop it
     when the consumer doesn't need order)."""
     return edges.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+
+
+def sample_edges(g: Graph, rate_inverse: int = 10,
+                 seed: int = 42) -> DataFrame:
+    """Deterministic ~1/``rate_inverse`` edge sample: keep (src, dst) iff
+    md5_63("{seed}|{src}|{dst}") % rate_inverse == 0 — the debug-subset /
+    pipeline-smoke sampler. Pure codegen (md5 + conv), reproducible across
+    engines and runs, no RNG state; sampling survives repartitioning
+    because the decision is a function of the edge itself."""
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        "|", F.lit(seed).cast("string"),
+        F.col("src").cast("string"), F.col("dst").cast("string"))),
+        1, 15), 16, 10).cast("long")
+    return g.edges.where(h % rate_inverse == 0)

@@ -936,6 +936,21 @@ def _q_domain_pagerank(spark, sf_dir):
                         F.round("rank", 8).alias("rank"))
 
 
+def _q_session_stats(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) of the raw event log and the
+    per-session engagement rollup (functions.events.session_stats)."""
+    from .functions.events import session_stats
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(events, gap_s=1800)
+
+
+def _q_sample_edges_nation(spark, sf_dir):
+    """Deterministic 1/3 md5 edge sample of the nation graph — the
+    debug-subset sampler (graph.sample_edges)."""
+    from .operators.graph import sample_edges
+    return sample_edges(nation_trade_graph(spark, sf_dir), rate_inverse=3)
+
+
 def _q_multimodal_metadata(spark, sf_dir):
     from .functions.multimodal import attach_media_metadata
     return attach_media_metadata(_media(spark, sf_dir)).select(
@@ -1079,6 +1094,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_text_index": _q_anchor_text_index,
     "ngram_counts": _q_ngram_counts,
     "domain_pagerank": _q_domain_pagerank,
+    "session_stats": _q_session_stats,
+    "sample_edges_nation": _q_sample_edges_nation,
     "anf_nation": _q_anf_nation,
     "betweenness_nation": _q_betweenness_nation,
     "ktruss_nation": _q_ktruss_nation,
@@ -1430,6 +1447,8 @@ ORACLES: dict[str, str] = {
         FROM ee JOIN v vs ON ee.src = vs.id JOIN v vd ON ee.dst = vd.id
         GROUP BY 1, 2
         """, iters=10, damping=DAMPING))),
+    "session_stats": SQ.session_stats_sql(1800),
+    "sample_edges_nation": SQ.sample_edges_sql(NATION_EDGES_SQL, 3),
     "betweenness_nation": SQ.betweenness_sql_twin(NATION_EDGES_SQL,
                                                   NATION_VERTS_SQL),
     # measured peel depth at sf0.01 is 3 rounds; 8 gives slack (extra

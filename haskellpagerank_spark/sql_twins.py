@@ -1031,3 +1031,37 @@ def weighted_pagerank_sql(edges_sql: str, iters: int,
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT vertex, ROUND(rank, {round_to}) AS rank "
             f"FROM r{iters}")
+
+
+def session_stats_sql(gap_s: int = 1800, round_to: int = 6) -> str:
+    """Per-session rollup over ``events`` (matches functions.events
+    .session_stats)."""
+    return f"""
+        WITH o AS (SELECT user_id, event_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                 OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                    - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) > {gap_s}
+                 THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_seq FROM o)
+        SELECT user_id, session_seq, COUNT(*) AS n_events,
+               MAX(CAST(FLOOR(epoch(ts)) AS BIGINT))
+               - MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS duration_s,
+               ROUND(SUM(value), {round_to}) AS value_sum
+        FROM s GROUP BY 1, 2
+    """
+
+
+def sample_edges_sql(edges_sql: str, rate_inverse: int,
+                     seed: int = 42) -> str:
+    """Deterministic md5 edge sample (matches operators.graph
+    .sample_edges)."""
+    return f"""
+        SELECT src, dst FROM ({edges_sql})
+        WHERE CAST('0x' || substr(md5(CAST({seed} AS VARCHAR) || '|' ||
+              CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR)), 1, 15)
+              AS BIGINT) % {rate_inverse} = 0
+    """

@@ -33,3 +33,40 @@ def test_ngram_counts_matches_duckdb(spark):
             f"read_parquet('{SF}/documents.parquet')")
     want = {g: c for g, c in con.sql(ngram_counts_sql(3, 2)).fetchall()}
     assert got == want
+
+
+def test_sessionize_hand_checked(spark):
+    from haskellpagerank_spark.functions.events import (
+        session_stats, sessionize)
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "c", 1.0, ""),
+        (2, "2024-01-01 00:10:00", 10, "c", 2.0, ""),
+        (3, "2024-01-01 01:10:00", 10, "c", 3.0, ""),   # 1h gap -> new
+        (4, "2024-01-01 00:05:00", 20, "c", 4.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+              " value double, props string").withColumn(
+        "ts", __import__("pyspark.sql.functions", fromlist=["f"])
+        .to_timestamp("ts"))
+    s = {r["event_id"]: r["session_seq"]
+         for r in sessionize(ev, gap_s=1800).collect()}
+    assert s == {1: 1, 2: 1, 3: 2, 4: 1}
+    st = {(r["user_id"], r["session_seq"]): (r["n_events"], r["duration_s"],
+                                             r["value_sum"])
+          for r in session_stats(ev, gap_s=1800).collect()}
+    assert st == {(10, 1): (2, 600, 3.0), (10, 2): (1, 0, 3.0),
+                  (20, 1): (1, 0, 4.0)}
+
+
+def test_sample_edges_deterministic(spark):
+    from haskellpagerank_spark.operators.graph import from_pairs, sample_edges
+    pairs = [(i, (i * 7 + 1) % 50) for i in range(50)]
+    g = from_pairs(spark, pairs)
+    a = {(r["src"], r["dst"]) for r in sample_edges(g, 5).collect()}
+    b = {(r["src"], r["dst"]) for r in sample_edges(g, 5).collect()}
+    assert a == b and 0 < len(a) < len(pairs)
+    import hashlib
+    want = {(s, d) for s, d in set(pairs) if s != d and int(hashlib.md5(
+        f"42|{s}|{d}".encode()).hexdigest()[:15], 16) % 5 == 0}
+    assert a == want
