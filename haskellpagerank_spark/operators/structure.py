@@ -830,3 +830,46 @@ def jaccard_neighbors(g: Graph, min_common: int = 1,
                         / (F.col("da") + F.col("db") - F.col("common")),
                         8).alias("jac"))
     )
+
+
+# ------------------------------------------- Weisfeiler-Lehman refinement
+
+def wl_refinement(g: Graph, rounds: int = 3) -> DataFrame:
+    """1-dimensional Weisfeiler-Lehman color refinement over the undirected
+    simple graph: per round, every vertex's label becomes
+    md5(old_label | sorted list of neighbor labels). After r rounds two
+    vertices share a label only if their radius-r neighborhoods are
+    indistinguishable by 1-WL — the standard structural fingerprint for
+    graph/subgraph dedup (pairs with the engine's document fingerprints).
+    Init label = md5(degree). Returns (id, wl_label).
+
+    Per round: one |E| join + one (id) agg whose value is the
+    lexicographically sorted neighbor-label list (array_sort over
+    collect_list — deterministic regardless of shuffle order), then a
+    codegen'd md5. Labels are 32-char hex, so state stays |V| x 32 bytes.
+    """
+    und = undirected_simple_edges(g)
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    labels = (
+        g.vertices().join(deg, "id", "left")
+        .select("id", F.md5(F.coalesce(F.col("deg"), F.lit(0))
+                            .cast("string")).alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        nbr = (
+            und.join(labels.select(F.col("id").alias("dst"),
+                                   F.col("lbl").alias("nlbl")), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.array_join(F.array_sort(F.collect_list("nlbl")), ",")
+                 .alias("nbrs"))
+        )
+        labels = (
+            labels.join(nbr, "id", "left")
+            .select("id", F.md5(F.concat_ws(
+                "|", F.col("lbl"), F.coalesce("nbrs", F.lit(""))))
+                .alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("id", F.col("lbl").alias("wl_label"))

@@ -841,3 +841,22 @@ def jaccard_neighbors(src, dst, n, min_common=1, max_fanout=10_000):
         if c >= min_common:
             out[(a, b)] = (c, round(c / (deg[a] + deg[b] - c), 8))
     return out
+
+
+def wl_refinement(src, dst, n, rounds=3):
+    """1-WL labels (operators/structure.wl_refinement). {id: hex label}."""
+    import hashlib
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    nbrs = [set() for _ in range(n)]
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    lbl = [h(str(len(nbrs[v]))) for v in range(n)]
+    for _ in range(rounds):
+        lbl = [h(lbl[v] + "|" + ",".join(sorted(lbl[u] for u in nbrs[v])))
+               for v in range(n)]
+    return {v: lbl[v] for v in range(n)}

@@ -936,6 +936,13 @@ def _q_domain_pagerank(spark, sf_dir):
                         F.round("rank", 8).alias("rank"))
 
 
+def _q_wl_nation(spark, sf_dir):
+    """1-WL color refinement, 3 rounds — structural vertex fingerprints
+    (structure.wl_refinement)."""
+    from .operators.structure import wl_refinement
+    return wl_refinement(nation_trade_graph(spark, sf_dir), rounds=3)
+
+
 def _q_session_stats(spark, sf_dir):
     """Gap-based sessionization (30-min gap) of the raw event log and the
     per-session engagement rollup (functions.events.session_stats)."""
@@ -1096,6 +1103,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_pagerank": _q_domain_pagerank,
     "session_stats": _q_session_stats,
     "sample_edges_nation": _q_sample_edges_nation,
+    "wl_nation": _q_wl_nation,
     "anf_nation": _q_anf_nation,
     "betweenness_nation": _q_betweenness_nation,
     "ktruss_nation": _q_ktruss_nation,
@@ -1449,6 +1457,7 @@ ORACLES: dict[str, str] = {
         """, iters=10, damping=DAMPING))),
     "session_stats": SQ.session_stats_sql(1800),
     "sample_edges_nation": SQ.sample_edges_sql(NATION_EDGES_SQL, 3),
+    "wl_nation": SQ.wl_refinement_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, 3),
     "betweenness_nation": SQ.betweenness_sql_twin(NATION_EDGES_SQL,
                                                   NATION_VERTS_SQL),
     # measured peel depth at sf0.01 is 3 rounds; 8 gives slack (extra

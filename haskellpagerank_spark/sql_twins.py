@@ -1065,3 +1065,31 @@ def sample_edges_sql(edges_sql: str, rate_inverse: int,
               CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR)), 1, 15)
               AS BIGINT) % {rate_inverse} = 0
     """
+
+
+def wl_refinement_sql(edges_sql: str, verts_sql: str, rounds: int) -> str:
+    """Unrolled 1-WL color refinement (matches operators.structure
+    .wl_refinement)."""
+    ctes = [
+        f"e0 AS MATERIALIZED (SELECT src, dst FROM ({edges_sql}) "
+        "WHERE src <> dst)",
+        "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0))",
+        "deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM und "
+        "GROUP BY 1)",
+        f"l0 AS MATERIALIZED (SELECT v.id, "
+        "md5(CAST(COALESCE(deg.deg, 0) AS VARCHAR)) AS lbl "
+        f"FROM ({verts_sql}) v LEFT JOIN deg ON v.id = deg.id)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes += [
+            f"n{i} AS MATERIALIZED (SELECT u.src AS id, "
+            f"string_agg(l.lbl, ',' ORDER BY l.lbl) AS nbrs "
+            f"FROM und u JOIN l{p} l ON u.dst = l.id GROUP BY 1)",
+            f"l{i} AS MATERIALIZED (SELECT l.id, "
+            f"md5(l.lbl || '|' || COALESCE(n.nbrs, '')) AS lbl "
+            f"FROM l{p} l LEFT JOIN n{i} n ON l.id = n.id)",
+        ]
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, lbl AS wl_label FROM l{rounds}")

@@ -290,3 +290,24 @@ def test_jaccard_neighbors_matches_oracle(spark, name):
     got = {(r["a"], r["b"]): (r["common"], r["jac"])
            for r in jaccard_neighbors(g).collect()}
     assert got == oracle.jaccard_neighbors(src, dst, n)
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_wl_refinement_matches_oracle(spark, name):
+    from haskellpagerank_spark.operators.structure import wl_refinement
+    src, dst, n = _arrays(name)
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    got = {r["id"]: r["wl_label"]
+           for r in wl_refinement(g, rounds=3).collect()}
+    assert got == oracle.wl_refinement(src, dst, n, rounds=3)
+
+
+def test_wl_distinguishes_structure(spark):
+    from haskellpagerank_spark.operators.structure import wl_refinement
+    # path 0-1-2-3: endpoints {0,3} and middles {1,2} are 1-WL equivalent;
+    # endpoints differ from middles after refinement
+    g = from_pairs(spark, [(0, 1), (1, 2), (2, 3)])
+    got = {r["id"]: r["wl_label"]
+           for r in wl_refinement(g, rounds=3).collect()}
+    assert got[0] == got[3] and got[1] == got[2]
+    assert got[0] != got[1]
