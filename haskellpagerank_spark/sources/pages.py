@@ -20,8 +20,9 @@ at 10^12-document scale. This module provides
   dst_url)``, one row per href occurrence (duplicates kept, matching the
   reference parser's multiset contract, EdgeArray.hs:78-89).
 - ``encode_vertices`` / ``build_graph`` — deterministic dictionary encoding
-  url -> dense int64 id (sort + zipWithIndex), the distributed equivalent of
-  the reference's dense 0..maxID contract (TestGraphParser.hs:26-31).
+  url -> dense int64 id (total sort + two-pass partition-offset assignment),
+  the distributed equivalent of the reference's dense 0..maxID contract
+  (TestGraphParser.hs:26-31).
 
 Scale notes (1000-executor reading):
 - generation is embarrassingly parallel over ``spark.range`` partitions; all
@@ -31,8 +32,9 @@ Scale notes (1000-executor reading):
   of the parquet/Iceberg scan when a query touches just ``text`` (never ship
   100 TB of html through a projection that drops it);
 - encoding sorts the distinct url set once (a shuffle bounded by |V|, not
-  |E|) and assigns ids with zipWithIndex — stable across resumes because the
-  sort order is total;
+  |E|) and assigns ids with a two-pass per-partition-offset sweep (counts ->
+  broadcast offsets -> vectorized arange per Arrow batch, zero per-row
+  Python) — stable across resumes because the sort order is total;
 - edge encoding is two hash joins on url; at web scale both sides are huge,
   so we do NOT broadcast — AQE picks shuffled hash / sort-merge and splits
   skewed url buckets (hubs) automatically.
@@ -284,25 +286,57 @@ def extract_links(pages: DataFrame) -> DataFrame:
 def encode_vertices(raw_edges: DataFrame) -> DataFrame:
     """vertices(url, id): dense 0..N-1 ids by total url sort order.
 
-    Distributed + deterministic: distinct urls (shuffle bounded by |V|),
-    range-partitioned sort, then zipWithIndex — ids are stable across
-    retries/resumes because the order is total. The RDD hop is the one
-    sanctioned exception in SURVEY.md §1.4.
+    Distributed, deterministic, and Arrow-only (no per-row Python): the
+    classic two-pass dense-id assignment.
+
+    1. distinct urls (shuffle bounded by |V|, not |E|), range-partitioned
+       total sort, tagged with ``spark_partition_id`` and PERSISTED — the
+       cache freezes the partition layout so both passes see the same rows
+       per partition (a re-executed sort could resample range boundaries);
+    2. per-partition counts collected to the driver (#partitions rows, not
+       |V|) and turned into broadcast cumulative offsets;
+    3. one ``mapInPandas`` sweep emits ``offset[pid] + position`` per row —
+       a vectorized ``np.arange`` per Arrow batch.
+
+    Ids are stable across retries/resumes because the url order is total,
+    and byte-identical to the previous zipWithIndex formulation. At
+    production scale the eager localCheckpoint below is a parquet
+    checkpoint of the vertex dictionary.
     """
+    spark = raw_edges.sparkSession
     urls = (
         raw_edges.select(F.col("src_url").alias("url"))
         .unionAll(raw_edges.select(F.col("dst_url").alias("url")))
         .distinct()
         .orderBy("url")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
     )
-    spark = raw_edges.sparkSession
-    rdd = urls.rdd.map(lambda r: r.url).zipWithIndex()
-    return spark.createDataFrame(
-        rdd, schema=StructType([
-            StructField("url", StringType()),
-            StructField("id", LongType()),
-        ])
-    )
+    counts = urls.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["pid"]):
+        offsets[int(row["pid"])] = acc
+        acc += int(row["cnt"])
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pos = -1
+        for b in batches:
+            if len(b) == 0:
+                continue
+            if pos < 0:
+                pos = b_offsets.value[int(b["pid"].iloc[0])]
+            yield pd.DataFrame({
+                "url": b["url"],
+                "id": np.arange(pos, pos + len(b), dtype=np.int64),
+            })
+            pos += len(b)
+
+    out = urls.mapInPandas(kernel, schema="url string, id long")
+    out = out.localCheckpoint(eager=True)
+    urls.unpersist()
+    return out
 
 
 def encode_edges(raw_edges: DataFrame, vertices: DataFrame) -> DataFrame:
@@ -330,10 +364,12 @@ def build_graph(pages: DataFrame) -> tuple[Graph, DataFrame]:
     # of the extracted edge list, not an in-memory cache). The encoded edge
     # list is materialized here (localCheckpoint) so raw can be RELEASED
     # before returning — no cached blocks leak across repeated builds.
-    # ``vertices`` stays persisted because it is returned: the caller owns
-    # that cache (unpersist it when done with the url<->id map).
+    # ``vertices`` comes back checkpointed from encode_vertices: its blocks
+    # are released when the frame is garbage-collected (ContextCleaner).
     raw = extract_links(pages).persist()
-    vertices = encode_vertices(raw).persist()
+    # encode_vertices returns an eagerly-materialized (localCheckpoint'd)
+    # frame — already backed by storage blocks, so no extra persist here.
+    vertices = encode_vertices(raw)
     n = vertices.count()
     edges = encode_edges(raw, vertices).localCheckpoint(eager=True)
     raw.unpersist()
