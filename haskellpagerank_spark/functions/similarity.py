@@ -178,9 +178,12 @@ def ivf_assignments(emb: DataFrame, centroids: np.ndarray,
     Deterministic: cells ranked by (dot desc, cell asc) with a stable sort —
     the same order ``ROW_NUMBER() OVER (ORDER BY sim DESC, cell ASC)``
     produces, so a SQL twin over the exported centroids reproduces the
-    assignment exactly. The vector is NOT normalized first (centroids are
-    unit vectors; a positive per-row scale cannot change the ranking), which
-    keeps the kernel and the SQL twin numerically identical.
+    assignment (empirically exact on the gate data; numpy's BLAS matmul may
+    reorder float additions vs a SQL engine's sequential dot-product fold,
+    so a near-tie within ~1 ulp could in principle rank differently). The
+    vector is NOT normalized first (centroids are unit vectors; a positive
+    per-row scale cannot change the ranking), which keeps the kernel and
+    the SQL twin numerically aligned.
     """
     c = np.asarray(centroids, dtype=np.float64)
 

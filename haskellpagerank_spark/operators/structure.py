@@ -127,8 +127,11 @@ def _min_label_fixpoint(edges: DataFrame, labels: DataFrame,
                         max_sweeps: int = 200) -> DataFrame:
     """labels(id, lbl) -> fixpoint of lbl(v) = min(lbl(v), min lbl(u) over
     edges u->v). Semi-naive: only labels that changed last sweep are
-    re-propagated."""
+    re-propagated. Raises RuntimeError if the fixpoint is not reached
+    within ``max_sweeps`` — a silently partial label map would corrupt the
+    SCC decomposition built on top of it."""
     frontier = labels
+    converged = False
     for _ in range(max_sweeps):
         msgs = (
             edges.join(frontier.withColumnRenamed("id", "src")
@@ -143,6 +146,7 @@ def _min_label_fixpoint(edges: DataFrame, labels: DataFrame,
             .localCheckpoint(eager=True)
         )
         if improved.isEmpty():
+            converged = True
             break
         labels = (
             labels.join(improved.withColumnRenamed("lbl", "nlbl"),
@@ -151,6 +155,9 @@ def _min_label_fixpoint(edges: DataFrame, labels: DataFrame,
             .localCheckpoint(eager=True)
         )
         frontier = improved
+    if not converged:
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_sweeps} sweeps")
     return labels
 
 
@@ -250,6 +257,10 @@ def strongly_connected_components(g: Graph,
             rows_shuffled=n_rem, wall_s=time.monotonic() - t0,
             extra={"assigned": n_done, "remaining": n_rem - n_done}))
     all_edges.unpersist()
+    if not remaining.isEmpty():
+        raise RuntimeError(
+            f"SCC decomposition exhausted max_rounds={max_rounds} with "
+            f"{remaining.count()} vertices unassigned")
     return StructureResult(df=assigned, iterations=rounds, metrics=metrics)
 
 
@@ -332,6 +343,7 @@ def sssp(g: Graph, weighted_edges: DataFrame, sources: list[int],
     frontier = dist
     metrics: list[IterationMetrics] = []
     rounds = 0
+    converged = False
     while rounds < max_rounds:
         rounds += 1
         t0 = time.monotonic()
@@ -356,6 +368,7 @@ def sssp(g: Graph, weighted_edges: DataFrame, sources: list[int],
             extra={"improved": n_improved}))
         if n_improved == 0:
             rounds -= 1
+            converged = True
             break
         dist = (
             dist.join(improved.withColumnRenamed("dist", "nd"),
@@ -370,6 +383,10 @@ def sssp(g: Graph, weighted_edges: DataFrame, sources: list[int],
         )
         frontier = improved
     e.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"SSSP still relaxing after max_rounds={max_rounds}; "
+            "distances would be partial")
     return StructureResult(df=dist, iterations=rounds, metrics=metrics)
 
 
@@ -631,6 +648,7 @@ def k_truss(g: Graph, k: int, max_rounds: int = 1000) -> StructureResult:
     metrics: list[IterationMetrics] = []
     rounds = 0
     support = None
+    converged = False
     while rounds < max_rounds:
         rounds += 1
         t0 = time.monotonic()
@@ -682,10 +700,16 @@ def k_truss(g: Graph, k: int, max_rounds: int = 1000) -> StructureResult:
             rows_shuffled=n_edges, wall_s=time.monotonic() - t0,
             extra={"peeled": n_edges - n_keep}))
         if n_keep == n_edges:
+            converged = True
             break
         canon, n_edges = keep, n_keep
         if n_keep == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"k-truss peel still removing edges after max_rounds="
+            f"{max_rounds}; result would be a superset of the {k}-truss")
     out = support.where(F.col("support") >= k - 2) if support is not None \
         else canon.select("src", "dst", F.lit(0).alias("support"))
     return StructureResult(df=out, iterations=rounds, metrics=metrics)

@@ -213,12 +213,21 @@ class Table:
         tmp = meta_path + f".tmp-{commit_id}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        # optimistic concurrency: lose the race -> conflict, caller retries
-        if self.current_version() != base or os.path.exists(meta_path):
+        # optimistic concurrency: publish atomically with a create-exclusive
+        # hard link — two writers racing from the same parent both pass any
+        # check-then-act test, but only one link(2) can create v{N+1}; the
+        # loser gets EEXIST and a CommitConflict to retry on the new parent.
+        if self.current_version() != base:
             os.unlink(tmp)
             raise CommitConflict(
                 f"table moved past v{base} during commit; retry")
-        os.replace(tmp, meta_path)
+        try:
+            os.link(tmp, meta_path)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise CommitConflict(
+                f"concurrent writer published v{base + 1}; retry") from None
+        os.unlink(tmp)
         hint_tmp = os.path.join(self.meta_dir, f".hint-{commit_id}")
         with open(hint_tmp, "w") as fh:
             fh.write(str(base + 1))
