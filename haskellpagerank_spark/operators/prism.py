@@ -39,9 +39,18 @@ from .pagerank import PageRankConfig, PageRankResult, weighted_edges
 
 
 def run_pagerank_incremental(g: Graph, cfg: PageRankConfig | None = None,
-                             activate_eps: float | None = None
-                             ) -> PageRankResult:
-    """Prism-style incremental PageRank; see module docstring."""
+                             activate_eps: float | None = None,
+                             warm_ranks=None) -> PageRankResult:
+    """Prism-style incremental PageRank; see module docstring.
+
+    ``warm_ranks`` (id, rank) warm-starts from a previously converged
+    state — THE prism scenario (Prism.hs:299-317): after a small edge
+    delta, re-deriving the accumulated sums ``s`` from the old ranks over
+    the NEW edge set costs one full |E| join, after which only vertices
+    actually moved by the delta re-activate, so the convergence tail
+    shuffles tiny frontiers instead of re-running a cold power iteration.
+    Converges to the same fixpoint from any start (linear operator).
+    """
     cfg = cfg or PageRankConfig(damping=0.15, sink_mode="reflect", tol=1e-6)
     if cfg.sink_mode == "redistribute":
         raise ValueError("incremental mode implements the reference's "
@@ -74,13 +83,39 @@ def run_pagerank_incremental(g: Graph, cfg: PageRankConfig | None = None,
     # position: x0 = init everywhere, nothing sent yet (sent=0, s=0) -> the
     # first superstep is a full send (frontier = all), mirroring the
     # reference's "activation set = all vertices" start (Prism.hs:507).
-    state = base.select(
-        "id", "has_out",
-        F.when(F.col("has_out"), F.lit(float(init)))
-        .otherwise(F.lit(0.0)).alias("x"),
-        F.lit(0.0).alias("s"),
-        F.lit(0.0).alias("sent"),
-    ).localCheckpoint(eager=True)
+    if warm_ranks is None:
+        state = base.select(
+            "id", "has_out",
+            F.when(F.col("has_out"), F.lit(float(init)))
+            .otherwise(F.lit(0.0)).alias("x"),
+            F.lit(0.0).alias("s"),
+            F.lit(0.0).alias("sent"),
+        ).localCheckpoint(eager=True)
+    else:
+        # warm start: sent = old converged ranks, s re-derived over the NEW
+        # weighted edges in one full join (the only full-|E| pass of the
+        # run), x = operator applied once. |x - sent| is ~0 away from the
+        # edge delta, so the first frontier is already localized.
+        sent0 = (
+            base.join(warm_ranks.select(
+                "id", F.col("rank").alias("sent")), "id", "left")
+            .select("id", "has_out",
+                    F.coalesce("sent", F.lit(0.0)).alias("sent"))
+        )
+        s0 = (
+            ew.join(sent0.select(F.col("id").alias("src"), "sent"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("w") * F.col("sent")).alias("s0"))
+        )
+        state = (
+            sent0.join(s0, "id", "left")
+            .select("id", "has_out",
+                    F.coalesce("s0", F.lit(0.0)).alias("s"), "sent")
+            .withColumn("x", F.when(~F.col("has_out"), F.lit(0.0))
+                        .otherwise(F.lit(dconst) + F.lit(d) * F.col("s")))
+            .select("id", "has_out", "x", "s", "sent")
+            .localCheckpoint(eager=True)
+        )
 
     # resumable iteration: the snapshot carries the FULL prism state
     # (x, s, sent, has_out), so a killed job restarts mid-loop with its

@@ -1024,6 +1024,48 @@ def _q_catalog_events_snapshot(spark, sf_dir):
         F.max("event_id").alias("max_event"))
 
 
+def _q_catalog_events_evolved(spark, sf_dir):
+    """Iceberg-seam v2 gate: schema evolution + merge-on-read deletes +
+    sequence-number semantics, end-to-end (sources/catalog.py).
+
+    v1 commit: even events (event_id, event_type, value), hive-partitioned.
+    v2: add-column ``score`` (metadata only).
+    v3 commit: odd events WITH score = value * 2.
+    v4: equality-delete every event_id % 10 == 0 (hits both commits).
+    v5 commit: re-append event_id % 20 == 0 rows with score = -1 — these
+    must SURVIVE the earlier delete (their sequence number is higher).
+
+    The DuckDB twin rebuilds the same final state from the raw parquet; a
+    read that misses the null-fill for pre-evolution files, applies the
+    delete to the re-appended rows, or loses a partition breaks the hash.
+    """
+    import shutil
+    from .sources.catalog import Table
+    root = f"{SQ.HANDOFF_DIR}/catalog_events_evolved"
+    shutil.rmtree(root, ignore_errors=True)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_id", "event_type", "value")
+    t = Table(root)
+    t.commit(ev.where(F.col("event_id") % 2 == 0),
+             partition_by=["event_type"])
+    t.add_columns([("score", "double")])
+    t.commit(ev.where(F.col("event_id") % 2 == 1)
+             .withColumn("score", F.col("value") * 2),
+             partition_by=["event_type"])
+    t.delete(ev.where(F.col("event_id") % 10 == 0), ["event_id"])
+    t.commit(ev.where(F.col("event_id") % 20 == 0)
+             .withColumn("score", F.lit(-1.0)),
+             partition_by=["event_type"])
+    return t.read(spark).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("score").isNull(), 1)).alias("n_pre_evolution"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+        F.round(F.sum(F.coalesce("score", F.lit(0.0))), 6)
+        .alias("total_score"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"))
+
+
 def _q_events_hourly_windows(spark, sf_dir):
     """Tumbling-window per-type aggregate (streaming.ingest's windowed agg
     shape, run in batch mode for the oracle comparison)."""
@@ -1076,6 +1118,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "benchparse_normalize": _q_benchparse_normalize,
     "events_hourly_windows": _q_events_hourly_windows,
     "catalog_events_snapshot": _q_catalog_events_snapshot,
+    # ---- round-3 additions (must stay inside the 50-query window)
+    "catalog_events_evolved": _q_catalog_events_evolved,
     # ---- block 1 window padding: highest-leverage r02-verified queries,
     # re-confirmed each round while window slots remain (positions 34-50)
     "pages_linkgraph_pagerank": _q_pages_pagerank,
@@ -1551,6 +1595,27 @@ ORACLES: dict[str, str] = {
                ROUND(SUM(value), 6) AS total_value,
                MIN(event_id) AS min_event, MAX(event_id) AS max_event
         FROM events GROUP BY 1
+    """,
+    "catalog_events_evolved": """
+        WITH cur AS (
+            SELECT event_id, event_type, value,
+                   CAST(NULL AS DOUBLE) AS score
+            FROM events WHERE event_id % 2 = 0 AND event_id % 10 <> 0
+            UNION ALL
+            SELECT event_id, event_type, value, value * 2 AS score
+            FROM events WHERE event_id % 2 = 1
+            UNION ALL
+            SELECT event_id, event_type, value, -1.0 AS score
+            FROM events WHERE event_id % 20 = 0
+        )
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               COUNT(CASE WHEN score IS NULL THEN 1 END) AS n_pre_evolution,
+               ROUND(SUM(value), 6) AS total_value,
+               ROUND(SUM(COALESCE(score, 0.0)), 6) AS total_score,
+               MIN(event_id) AS min_event,
+               MAX(event_id) AS max_event
+        FROM cur GROUP BY 1
     """,
     "events_hourly_windows": """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

@@ -36,7 +36,17 @@ Scale notes (explicit):
   filtering inside each file.
 - Commits are optimistic: a commit built against snapshot N fails with
   ``CommitConflict`` if the table has moved past N, mirroring Iceberg's
-  retry contract.
+  retry contract; the manifest publish itself is a create-exclusive
+  link(2), so two racers from the same parent cannot both land.
+- Schema evolution is metadata-only (``add_columns`` / ``drop_columns``):
+  data files are immutable; every scan applies the manifest schema
+  explicitly, so pre-evolution files yield null for added columns and
+  dropped columns are projected away (older snapshots still see them).
+- Deletes are merge-on-read equality deletes (Iceberg v2): ``delete``
+  writes the key tuples as an immutable delete file; scans anti-join them
+  out, applying each delete only to data files with a lower sequence
+  number (a row re-appended after the delete survives). ``compact``
+  materializes and purges outstanding deletes by rewriting.
 """
 
 from __future__ import annotations
@@ -63,14 +73,18 @@ class FileEntry:
     rows: int
     partition: dict[str, str]      # hive partition values (may be empty)
     stats: dict[str, dict]         # col -> {"min": .., "max": ..} (best effort)
+    seq: int = 0                   # snapshot that added the file (Iceberg
+    #                                sequence number; 0 = legacy pre-seq file)
 
     def to_json(self) -> dict:
         return {"path": self.path, "rows": self.rows,
-                "partition": self.partition, "stats": self.stats}
+                "partition": self.partition, "stats": self.stats,
+                "seq": self.seq}
 
     @staticmethod
     def from_json(d: dict) -> "FileEntry":
-        return FileEntry(d["path"], d["rows"], d["partition"], d["stats"])
+        return FileEntry(d["path"], d["rows"], d["partition"], d["stats"],
+                         d.get("seq", 0))
 
 
 def _jsonable(v: Any) -> Any:
@@ -196,27 +210,36 @@ class Table:
                 rel = os.path.relpath(abs_path, self.root)
                 rows, stats = _footer_stats(abs_path)
                 new_files.append(FileEntry(
-                    rel, rows, _partition_values(rel), stats))
+                    rel, rows, _partition_values(rel), stats, base + 1))
 
         prev = self.files(base) if (mode == "append" and base >= 1) else []
+        prev_deletes = (self.manifest(base).get("delete_files", [])
+                        if (mode == "append" and base >= 1) else [])
         manifest = {
-            "format": "hpr-table/1",
+            "format": "hpr-table/2",
             "snapshot_id": base + 1,
             "parent_id": base or None,
             "operation": operation or mode,
             "partition_by": partition_by or [],
             "schema": df.schema.json(),
             "files": [f.to_json() for f in prev + new_files],
+            "delete_files": prev_deletes,
         }
+        return self._publish(manifest, base, commit_id)
+
+    def _publish(self, manifest: dict, base: int, commit_id: str) -> int:
+        """Atomically publish ``manifest`` as snapshot base+1.
+
+        Optimistic concurrency: publish with a create-exclusive hard link —
+        two writers racing from the same parent both pass any check-then-act
+        test, but only one link(2) can create v{N+1}; the loser gets EEXIST
+        and a CommitConflict to retry on the new parent.
+        """
         os.makedirs(self.meta_dir, exist_ok=True)
         meta_path = os.path.join(self.meta_dir, f"v{base + 1}.metadata.json")
         tmp = meta_path + f".tmp-{commit_id}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        # optimistic concurrency: publish atomically with a create-exclusive
-        # hard link — two writers racing from the same parent both pass any
-        # check-then-act test, but only one link(2) can create v{N+1}; the
-        # loser gets EEXIST and a CommitConflict to retry on the new parent.
         if self.current_version() != base:
             os.unlink(tmp)
             raise CommitConflict(
@@ -233,6 +256,102 @@ class Table:
             fh.write(str(base + 1))
         os.replace(hint_tmp, os.path.join(self.meta_dir, _VERSION_HINT))
         return base + 1
+
+    # ------------------------------------------------- schema evolution
+
+    def add_columns(self, fields: list[tuple[str, str]]) -> int:
+        """Metadata-only schema evolution: append nullable columns
+        (Iceberg add-column). Existing data files are untouched; reads fill
+        the new columns with null for pre-evolution files because every
+        scan applies the manifest schema explicitly."""
+        from pyspark.sql.types import DataType, StructType
+        man = self.manifest()
+        base = man["snapshot_id"]
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        for name, dtype in fields:
+            if name in schema.fieldNames():
+                raise ValueError(f"column {name!r} already exists")
+            # fromDDL accepts the full DDL type grammar ("int", "string",
+            # "array<float>", ...); needs an active SparkSession (any
+            # realistic caller has one — commits are driver-side).
+            schema = schema.add(name, DataType.fromDDL(dtype), True)
+        new_man = {
+            **man,
+            "snapshot_id": base + 1,
+            "parent_id": base,
+            "operation": "add-columns",
+            "schema": schema.json(),
+        }
+        return self._publish(new_man, base, uuid.uuid4().hex[:12])
+
+    def drop_columns(self, names: list[str]) -> int:
+        """Metadata-only column drop: data files keep the bytes (time
+        travel to older snapshots still sees them); current reads project
+        them away via the manifest schema."""
+        from pyspark.sql.types import StructType
+        man = self.manifest()
+        base = man["snapshot_id"]
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        have = set(schema.fieldNames())
+        missing = [n for n in names if n not in have]
+        if missing:
+            raise ValueError(f"no such column(s): {missing}")
+        part = [n for n in names if n in (man["partition_by"] or [])]
+        if part:
+            raise ValueError(f"cannot drop partition column(s): {part}")
+        new_schema = StructType([f for f in schema.fields
+                                 if f.name not in set(names)])
+        new_man = {
+            **man,
+            "snapshot_id": base + 1,
+            "parent_id": base,
+            "operation": "drop-columns",
+            "schema": new_schema.json(),
+        }
+        return self._publish(new_man, base, uuid.uuid4().hex[:12])
+
+    # ------------------------------------------------ merge-on-read deletes
+
+    def delete(self, keys: DataFrame, key_cols: list[str]) -> int:
+        """Equality delete (Iceberg v2 merge-on-read): write the distinct
+        ``key_cols`` tuples of ``keys`` as an immutable delete file and
+        commit a metadata snapshot referencing it. No data file is
+        rewritten — readers anti-join the keys out at scan time, and the
+        delete applies only to data files with a LOWER sequence number
+        (rows appended after the delete are not affected, matching
+        Iceberg's sequence-number semantics). ``compact`` purges deletes by
+        rewriting."""
+        man = self.manifest()
+        base = man["snapshot_id"]
+        schema_cols = {f["name"] for f in json.loads(man["schema"])["fields"]}
+        bad = [c for c in key_cols if c not in schema_cols]
+        if bad:
+            raise ValueError(f"delete key column(s) not in schema: {bad}")
+        commit_id = uuid.uuid4().hex[:12]
+        rel_dir = os.path.join("data", f"{commit_id}-delete")
+        out_dir = os.path.join(self.root, rel_dir)
+        keys.select(*key_cols).distinct().write.mode("error").parquet(out_dir)
+        del_files = []
+        for dirpath, _dirs, names in sorted(os.walk(out_dir)):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                abs_path = os.path.join(dirpath, name)
+                rows, _stats = _footer_stats(abs_path)
+                del_files.append({
+                    "path": os.path.relpath(abs_path, self.root),
+                    "rows": rows,
+                    "key_cols": list(key_cols),
+                    "seq": base + 1,
+                })
+        new_man = {
+            **man,
+            "snapshot_id": base + 1,
+            "parent_id": base,
+            "operation": "delete",
+            "delete_files": man.get("delete_files", []) + del_files,
+        }
+        return self._publish(new_man, base, commit_id)
 
     def compact(self, spark: SparkSession, target_files: int = 8,
                 sort_by: list[str] | None = None) -> int:
@@ -275,14 +394,49 @@ class Table:
 
     def _read_entries(self, spark: SparkSession, entries: list[FileEntry],
                       man: dict, snapshot: int | None) -> DataFrame:
-        """Assemble a DataFrame from manifest entries. Partitioned commits
-        are read per commit directory (each with its own basePath so hive
-        partition columns resolve) and unioned — different commits need
-        not share directory structure."""
+        """Assemble a DataFrame from manifest entries: raw file read with
+        the manifest schema applied, then merge-on-read equality deletes.
+
+        A delete file applies to a data file iff the data file's sequence
+        number is lower (Iceberg v2: rows appended after a delete are not
+        deleted by it). Data files are grouped by seq so each group gets
+        exactly the anti-joins it needs — the number of groups is bounded
+        by the number of snapshots that added files, not file count."""
+        from pyspark.sql.types import StructType
+        schema = StructType.fromJson(json.loads(man["schema"]))
         if not entries:
-            return spark.createDataFrame([], schema=self.schema(snapshot))
+            return spark.createDataFrame([], schema=schema)
+        deletes = man.get("delete_files", [])
+        live = [d for d in deletes
+                if any(e.seq < d["seq"] for e in entries)]
+        if not live:
+            return self._read_raw(spark, entries, man, schema)
+        out = None
+        for seq in sorted({e.seq for e in entries}):
+            grp = [e for e in entries if e.seq == seq]
+            df = self._read_raw(spark, grp, man, schema)
+            applicable: dict[tuple, list[dict]] = {}
+            for d in live:
+                if d["seq"] > seq:
+                    applicable.setdefault(tuple(d["key_cols"]), []).append(d)
+            for key_cols, ds in sorted(applicable.items()):
+                kdf = spark.read.parquet(
+                    *[os.path.join(self.root, d["path"]) for d in ds])
+                df = df.join(kdf.select(*key_cols).distinct(),
+                             on=list(key_cols), how="left_anti")
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    def _read_raw(self, spark: SparkSession, entries: list[FileEntry],
+                  man: dict, schema) -> DataFrame:
+        """Plain file-list read (no delete application). Partitioned
+        commits are read per commit directory (each with its own basePath
+        so hive partition columns resolve) and unioned — different commits
+        need not share directory structure. The manifest schema is applied
+        explicitly, so files written before an add-column evolution yield
+        null for the new columns and dropped columns are projected away."""
         if not man["partition_by"]:
-            return spark.read.parquet(
+            return spark.read.schema(schema).parquet(
                 *[os.path.join(self.root, e.path) for e in entries])
         groups: dict[str, list[str]] = {}
         for e in entries:
@@ -291,7 +445,8 @@ class Table:
             groups.setdefault(commit_dir, []).append(
                 os.path.join(self.root, e.path))
         dfs = [
-            spark.read.option("basePath", os.path.join(self.root, cd))
+            spark.read.schema(schema)
+            .option("basePath", os.path.join(self.root, cd))
             .parquet(*paths)
             for cd, paths in sorted(groups.items())
         ]

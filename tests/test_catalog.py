@@ -147,3 +147,129 @@ def test_compact_preserves_rows_and_time_travel(spark, tmp_path):
     # sorted rewrite -> disjoint per-file event_id ranges -> pruning works
     _, report = t.scan(spark, "event_id", lo=0, hi=10)
     assert report["files_pruned"] >= 1
+
+
+def test_add_column_evolution_reads_v1_files(spark, tmp_path):
+    """Add-column is metadata-only: pre-evolution files read back with null
+    in the new column; post-evolution appends carry real values; time
+    travel to the pre-evolution snapshot does not see the column."""
+    t = Table(str(tmp_path / "t_evo"))
+    ev = _events(spark).select("event_id", "event_type", "value")
+    t.commit(ev.where(F.col("event_id") % 2 == 0))
+    v = t.add_columns([("score", "double")])
+    assert v == 2
+    t.commit(ev.where(F.col("event_id") % 2 == 1)
+             .withColumn("score", F.col("value") * 2))
+    cur = t.read(spark)
+    assert "score" in cur.columns
+    n_even = ev.where(F.col("event_id") % 2 == 0).count()
+    n_odd = ev.where(F.col("event_id") % 2 == 1).count()
+    assert cur.where(F.col("score").isNull()).count() == n_even
+    assert cur.where(F.col("score").isNotNull()).count() == n_odd
+    # time travel: snapshot 1 predates the evolution
+    assert "score" not in t.read(spark, snapshot=1).columns
+    # duplicate add rejected
+    with pytest.raises(ValueError):
+        t.add_columns([("score", "double")])
+
+
+def test_add_column_evolution_partitioned(spark, tmp_path):
+    t = Table(str(tmp_path / "t_evo_part"))
+    ev = _events(spark).select("event_id", "event_type", "value")
+    t.commit(ev, partition_by=["event_type"])
+    t.add_columns([("flag", "int")])
+    t.commit(ev.withColumn("flag", F.lit(1)), partition_by=["event_type"])
+    cur = t.read(spark)
+    assert cur.count() == 2 * ev.count()
+    assert cur.where(F.col("flag").isNull()).count() == ev.count()
+    # pruning still works on the evolved, partitioned table
+    types = sorted(r["event_type"] for r in
+                   ev.select("event_type").distinct().collect())
+    df, report = t.scan(spark, "event_type", lo=types[0], hi=types[0])
+    assert report["files_pruned"] > 0
+    assert df.count() == 2 * ev.where(F.col("event_type") == types[0]).count()
+
+
+def test_drop_column_is_projection_only(spark, tmp_path):
+    t = Table(str(tmp_path / "t_drop"))
+    ev = _events(spark).select("event_id", "event_type", "value")
+    t.commit(ev)
+    t.drop_columns(["value"])
+    assert "value" not in t.read(spark).columns
+    assert "value" in t.read(spark, snapshot=1).columns  # time travel sees it
+    with pytest.raises(ValueError):
+        t.drop_columns(["no_such_col"])
+    t2 = Table(str(tmp_path / "t_drop_part"))
+    t2.commit(ev, partition_by=["event_type"])
+    with pytest.raises(ValueError):
+        t2.drop_columns(["event_type"])  # partition column protected
+
+
+def test_equality_delete_merge_on_read(spark, tmp_path):
+    """Merge-on-read: delete writes a key file, no data file is rewritten;
+    reads anti-join the keys out; time travel sees pre-delete rows."""
+    t = Table(str(tmp_path / "t_del"))
+    ev = _events(spark).select("event_id", "event_type", "value")
+    t.commit(ev)
+    n = ev.count()
+    victims = ev.where(F.col("event_id") % 10 == 0)
+    n_victims = victims.count()
+    v = t.delete(victims, ["event_id"])
+    assert v == 2
+    assert t.read(spark).count() == n - n_victims
+    assert t.read(spark).where(F.col("event_id") % 10 == 0).count() == 0
+    assert t.read(spark, snapshot=1).count() == n  # time travel pre-delete
+    # data files untouched: same file list as snapshot 1
+    assert [f.path for f in t.files(2)] == [f.path for f in t.files(1)]
+
+
+def test_delete_sequence_numbers_spare_later_appends(spark, tmp_path):
+    """A row re-appended AFTER the delete must survive (Iceberg v2
+    sequence-number semantics), even though its key matches."""
+    t = Table(str(tmp_path / "t_seq"))
+    ev = _events(spark).select("event_id", "event_type", "value")
+    first = ev.where(F.col("event_id") < 100)
+    t.commit(first)
+    t.delete(first.where(F.col("event_id") < 50), ["event_id"])
+    resurrected = first.where(F.col("event_id") < 10)
+    t.commit(resurrected)
+    cur = t.read(spark)
+    n_first = first.count()
+    n_deleted = first.where(F.col("event_id") < 50).count()
+    n_res = resurrected.count()
+    assert cur.count() == n_first - n_deleted + n_res
+    # the resurrected keys are back despite matching the delete file
+    assert cur.where(F.col("event_id") < 10).count() == n_res
+    # keys in [10, 50) stay deleted
+    assert cur.where((F.col("event_id") >= 10)
+                     & (F.col("event_id") < 50)).count() == 0
+
+
+def test_compact_purges_deletes(spark, tmp_path):
+    t = Table(str(tmp_path / "t_del_compact"))
+    ev = _events(spark).select("event_id", "event_type", "value")
+    t.commit(ev)
+    t.delete(ev.where(F.col("event_id") % 3 == 0), ["event_id"])
+    want = t.read(spark).count()
+    t.compact(spark, target_files=2)
+    assert t.manifest().get("delete_files") == []  # purged by rewrite
+    assert t.read(spark).count() == want
+    with pytest.raises(ValueError):
+        t.delete(ev, ["bogus_key"])
+
+
+def test_delete_on_partitioned_evolved_table(spark, tmp_path):
+    """The three v2 features compose: partitioned table, evolved schema,
+    then a merge-on-read delete keyed on a multi-column key."""
+    t = Table(str(tmp_path / "t_all"))
+    ev = _events(spark).select("event_id", "event_type", "value")
+    t.commit(ev, partition_by=["event_type"])
+    t.add_columns([("note", "string")])
+    t.commit(ev.withColumn("note", F.lit("v2")),
+             partition_by=["event_type"])
+    victims = ev.limit(25).select("event_id", "event_type")
+    t.delete(victims, ["event_id", "event_type"])
+    cur = t.read(spark)
+    assert cur.count() == 2 * ev.count() - 2 * 25
+    assert cur.join(victims, ["event_id", "event_type"],
+                    "left_semi").count() == 0

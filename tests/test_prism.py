@@ -65,3 +65,45 @@ def test_prism_checkpoint_resume(spark, tmp_path):
     a = full.ranks.toPandas().sort_values("id")["rank"].to_numpy()
     b = resumed.ranks.toPandas().sort_values("id")["rank"].to_numpy()
     np.testing.assert_allclose(a, b, atol=1e-9)
+
+
+def test_warm_start_after_edge_delta(spark):
+    """THE prism scenario (Prism.hs:299-317): converge, add a few edges,
+    warm-start from the old ranks — lands on the new graph's fixpoint with
+    a localized (non-full) first frontier."""
+    pairs = FIXTURE_EDGES["doubleSquare"] + FIXTURE_EDGES["complete"]
+    g = from_pairs(spark, pairs)
+    cfg = PageRankConfig(damping=0.15, tol=1e-9, sink_mode="reflect",
+                         init_value=1.0, max_iters=500)
+    cold = run_pagerank_incremental(g, cfg, activate_eps=1e-9)
+
+    delta = [(0, 3), (2, 0)]  # new edges not in the fixture
+    g2 = from_pairs(spark, pairs + delta)
+    warm = run_pagerank_incremental(g2, cfg, activate_eps=1e-9,
+                                    warm_ranks=cold.ranks)
+    cold2 = run_pagerank_incremental(g2, cfg, activate_eps=1e-9)
+
+    a = warm.ranks.toPandas().sort_values("id")["rank"].to_numpy()
+    b = cold2.ranks.toPandas().sort_values("id")["rank"].to_numpy()
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    # oracle agreement on the post-delta graph
+    src, dst, n = O.parse_edges(pairs + delta)
+    asrc, adst = O.amend_sinks(src, dst, n)
+    want = O.pagerank_jacobi(asrc, adst, n, damping=0.15, eps=1e-12,
+                             init=1.0)
+    np.testing.assert_allclose(a, want, atol=1e-6)
+
+
+def test_warm_start_no_delta_converges_immediately(spark):
+    """Warm-starting on the SAME graph finds an (almost) empty frontier:
+    the run costs one |E| join, not a power iteration."""
+    g = from_pairs(spark, FIXTURE_EDGES["doubleSquare"])
+    cfg = PageRankConfig(damping=0.15, tol=1e-9, sink_mode="reflect",
+                         init_value=1.0, max_iters=500)
+    cold = run_pagerank_incremental(g, cfg, activate_eps=1e-9)
+    warm = run_pagerank_incremental(g, cfg, activate_eps=1e-6,
+                                    warm_ranks=cold.ranks)
+    assert warm.iterations <= 2
+    a = warm.ranks.toPandas().sort_values("id")["rank"].to_numpy()
+    b = cold.ranks.toPandas().sort_values("id")["rank"].to_numpy()
+    np.testing.assert_allclose(a, b, atol=1e-6)
