@@ -22,8 +22,10 @@ def main() -> None:
     ap.add_argument("--edges", required=True)
     ap.add_argument("--n-vertices", type=int, required=True)
     ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--strategy", default="spmv", choices=["spmv", "join"])
-    ap.add_argument("--algo", default="pagerank", choices=["pagerank", "cc"])
+    ap.add_argument("--strategy", default="spmv",
+                    choices=["spmv", "join", "local"])
+    ap.add_argument("--algo", default="pagerank",
+                    choices=["pagerank", "cc", "lp"])
     ap.add_argument("--shuffle-partitions", type=int, default=0)
     ap.add_argument("--extract-pages", type=int, default=0,
                     help="also time the pages extract pipeline at this size")
@@ -47,14 +49,34 @@ def main() -> None:
             connected_components)
         from haskellpagerank_spark.operators.components_csr import (
             connected_components_spmv)
-        ccrun = (connected_components_spmv if args.strategy == "spmv"
-                 else connected_components)
+        from haskellpagerank_spark.operators.components_local import (
+            connected_components_local)
+        ccrun = {"spmv": connected_components_spmv,
+                 "join": connected_components,
+                 "local": connected_components_local}[args.strategy]
         res = ccrun(g)
+        res.df.count()
+    elif args.algo == "lp":
+        if args.strategy == "spmv":
+            raise SystemExit("LP has no SpMV form (label multiset state); "
+                             "use join or local")
+        from haskellpagerank_spark.operators.components import (
+            label_propagation)
+        from haskellpagerank_spark.operators.components_local import (
+            label_propagation_local)
+        lprun = (label_propagation_local if args.strategy == "local"
+                 else label_propagation)
+        res = lprun(g, args.iters)
         res.df.count()
     else:
         cfg = PageRankConfig(damping=0.85, num_iters=args.iters,
                              sink_mode="redistribute")
-        runner = run_pagerank_spmv if args.strategy == "spmv" else run_pagerank
+        if args.strategy == "local":
+            from haskellpagerank_spark.operators.pagerank_local import (
+                run_pagerank_local as runner)
+        else:
+            runner = (run_pagerank_spmv if args.strategy == "spmv"
+                      else run_pagerank)
         res = runner(g, cfg)
         res.ranks.count()
     wall = time.monotonic() - t0
