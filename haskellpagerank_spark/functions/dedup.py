@@ -267,3 +267,55 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def neardup_clusters(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 3,
+                     num_hashes: int = 64, bands: int = 16,
+                     threshold: float = 0.8,
+                     hash_mode: str = "xxhash64",
+                     max_iters: int = 100) -> DataFrame:
+    """Collapse LSH-verified near-duplicate pairs into clusters and elect a
+    canonical document per cluster — the "keep one copy" step of corpus
+    dedup.
+
+    Composition: ``minhash_lsh_pairs`` (bucketed candidates, exact-Jaccard
+    verification) -> undirected pair graph over the *participants only*
+    (docs with no near-dup never enter the fixpoint) -> min-label connected
+    components via the engine's semi-naive frontier loop
+    (operators.components._cc_frontier_loop) -> canonical = min doc id in
+    the cluster (deterministic; swap in a quality-ranked choice by joining
+    quality scores before the arg-min if desired).
+
+    Returns (doc_id, cluster, is_canonical) for every participant, where
+    ``cluster`` is the min doc id reachable through the near-dup relation
+    (transitive closure: a~b and b~c cluster a,b,c even if a,c fall below
+    the pair threshold). The deduped corpus = non-participants plus rows
+    with is_canonical=1.
+
+    Scale: fixpoint state is O(|participants|) (id, label) longs — a tiny
+    fraction of the corpus — and near-dup clusters have small diameter, so
+    the loop converges in a handful of sweeps; each sweep shuffles only the
+    changed-label frontier.
+    """
+    from ..operators.components import _cc_frontier_loop
+    from ..plans.checkpoint import CheckpointManager
+
+    pairs = minhash_lsh_pairs(docs, text_col, id_col, n, num_hashes, bands,
+                              threshold, hash_mode).select("id_a", "id_b")
+    edges = (
+        pairs.unionAll(pairs.select(F.col("id_b").alias("id_a"),
+                                    F.col("id_a").alias("id_b")))
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("component", F.col("id")))
+    res = _cc_frontier_loop(edges, labels, labels, max_iters, 0,
+                            CheckpointManager(None))
+    return res.df.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster"),
+        (F.col("id") == F.col("component")).cast("bigint")
+        .alias("is_canonical"))

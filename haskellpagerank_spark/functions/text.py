@@ -167,3 +167,47 @@ def ngram_counts(docs: DataFrame, n: int = 3, min_count: int = 2,
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= min_count)
     )
+
+
+def contamination_overlap(docs: DataFrame, probe: DataFrame, n: int = 5,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Per-document n-gram overlap against a probe n-gram set — the
+    decontamination primitive: training docs sharing n-grams with an eval
+    benchmark get flagged (and typically dropped) before training.
+
+    ``probe`` is a one-column DataFrame (``ngram`` string) holding the
+    benchmark side's distinct n-grams — typically tiny relative to the
+    corpus, so the join is a broadcast hash join: the corpus side never
+    shuffles. Tokenization and n-gram construction are the engine's
+    standard rules (``tokens`` + slice/transform, whole-stage codegen).
+
+    Returns (doc_id, n_overlap, n_ngrams, overlap_frac) for contaminated
+    docs only (n_overlap > 0); overlap_frac = n_overlap / n_ngrams over the
+    doc's distinct n-grams, rounded to 6.
+    """
+    from pyspark.sql.functions import broadcast
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = tokens(text_col)
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    ))
+    per_doc = (
+        docs.where(F.length(F.trim(F.col(text_col))) > 0)
+        .where(F.size(toks) >= n)
+        .select(F.col(id_col).alias("doc_id"), grams.alias("grams"))
+        .select("doc_id", F.size("grams").alias("n_ngrams"),
+                F.explode("grams").alias("ngram"))
+    )
+    probe_d = broadcast(probe.select("ngram").distinct())
+    return (
+        per_doc.join(probe_d, "ngram")
+        .groupBy("doc_id", "n_ngrams")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select("doc_id", "n_overlap", F.col("n_ngrams").cast("long")
+                .alias("n_ngrams"),
+                F.round(F.col("n_overlap") / F.col("n_ngrams"), 6)
+                .alias("overlap_frac"))
+    )

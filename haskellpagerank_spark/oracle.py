@@ -860,3 +860,17 @@ def wl_refinement(src, dst, n, rounds=3):
         lbl = [h(lbl[v] + "|" + ",".join(sorted(lbl[u] for u in nbrs[v])))
                for v in range(n)]
     return {v: lbl[v] for v in range(n)}
+
+
+def katz(src, dst, n, alpha=0.02, beta=1.0, num_iters=10):
+    """Katz centrality, unrolled: x <- beta + alpha * A^T x over the simple
+    self-loop-free directed edge set (operators.centrality.katz)."""
+    keep = src != dst
+    pairs = np.unique(np.stack([src[keep], dst[keep]], axis=1), axis=0)
+    s, d = pairs[:, 0], pairs[:, 1]
+    x = np.full(n, float(beta))
+    for _ in range(num_iters):
+        msgs = np.zeros(n)
+        np.add.at(msgs, d, x[s])
+        x = beta + alpha * msgs
+    return x

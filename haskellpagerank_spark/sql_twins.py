@@ -1093,3 +1093,54 @@ def wl_refinement_sql(edges_sql: str, verts_sql: str, rounds: int) -> str:
         ]
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT id, lbl AS wl_label FROM l{rounds}")
+
+
+def katz_sql(edges_sql: str, verts_sql: str, alpha: float, beta: float,
+             iters: int, round_to: int = 8) -> str:
+    """Unrolled Katz centrality over the simple directed edge set
+    (matches operators.centrality.katz fp-op for fp-op)."""
+    ctes = [
+        f"verts AS MATERIALIZED ({verts_sql})",
+        f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}) "
+        "WHERE src <> dst)",
+        f"x0 AS MATERIALIZED (SELECT id, CAST({beta} AS DOUBLE) AS s "
+        "FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes += [
+            f"m{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(x.s) AS s "
+            f"FROM e JOIN x{p} x ON e.src = x.id GROUP BY 1)",
+            f"x{i} AS MATERIALIZED (SELECT v.id, {beta} + {alpha} "
+            f"* COALESCE(m.s, 0.0) AS s "
+            f"FROM verts v LEFT JOIN m{i} m ON v.id = m.id)",
+        ]
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, ROUND(s, {round_to}) AS katz FROM x{iters}")
+
+
+def contamination_sql(n: int, probe_mod: int) -> str:
+    """Train/eval contamination twin over ``documents``: docs with
+    doc_id % probe_mod == 0 are the benchmark; everyone else reports
+    distinct-n-gram overlap (matches functions.text.contamination_overlap
+    with the probe built by queries._q_contamination)."""
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          string_split_regex(trim(text), '\\s+') AS toks
+                   FROM documents WHERE length(trim(text)) > 0),
+        g AS (SELECT doc_id,
+                     list_distinct(list_transform(
+                         range(1, len(toks) - {n - 1} + 1),
+                         i -> array_to_string(toks[i:i+{n - 1}], ' ')))
+                         AS grams
+              FROM t WHERE len(toks) >= {n}),
+        probe AS (SELECT DISTINCT unnest(grams) AS ngram FROM g
+                  WHERE doc_id % {probe_mod} = 0),
+        ex AS (SELECT doc_id, len(grams) AS n_ngrams, unnest(grams) AS ngram
+               FROM g WHERE doc_id % {probe_mod} <> 0),
+        ov AS (SELECT e.doc_id, e.n_ngrams, COUNT(*) AS n_overlap
+               FROM ex e JOIN probe p ON e.ngram = p.ngram GROUP BY 1, 2)
+        SELECT doc_id, n_overlap, n_ngrams,
+               ROUND(n_overlap::DOUBLE / n_ngrams, 6) AS overlap_frac
+        FROM ov
+    """

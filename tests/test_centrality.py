@@ -150,3 +150,15 @@ def test_salsa_mass_conservation(spark):
     res = salsa(g, num_iters=5)
     total = res.df.agg({"authority": "sum"}).first()[0]
     assert total == pytest.approx(1.0, abs=1e-9)
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_katz_matches_oracle(spark, name):
+    from haskellpagerank_spark.operators.centrality import katz
+    src, dst, n = _arrays(name)
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    res = katz(g, alpha=0.02, beta=1.0, num_iters=10)
+    rows = {r["id"]: r["katz"] for r in res.df.collect()}
+    want = oracle.katz(src, dst, n, alpha=0.02, beta=1.0, num_iters=10)
+    got = np.array([rows[i] for i in range(n)])
+    np.testing.assert_allclose(got, want, atol=1e-12)

@@ -276,3 +276,33 @@ def test_prepare_corpus_pipeline(spark):
                                 "quality_score", "fingerprint"}
     assert (out.lang_pred == "en").all()
     assert (out.quality_score >= 0.5).all()
+
+
+def test_neardup_clusters_transitive_and_canonical(spark):
+    """Chain 0~1~2 where 0 and 2 fall below the pair threshold must still
+    cluster together (transitive closure through 1); canonical = min id;
+    docs with no near-dup never appear."""
+    words = [f"w{i}" for i in range(40)]
+
+    def txt(s, e):
+        return " ".join(words[s:e])
+
+    docs = spark.createDataFrame(
+        [(0, txt(0, 14)), (1, txt(3, 17)), (2, txt(6, 20)),
+         (7, txt(25, 40)), (8, txt(25, 40)),
+         (9, "completely different text entirely unrelated here today")],
+        "doc_id long, text string")
+    # sanity: 0~2 really is below the pair threshold
+    pairs = set(map(tuple, D.minhash_lsh_pairs(docs, threshold=0.5)
+                    .select("id_a", "id_b").collect()))
+    assert (0, 1) in pairs and (1, 2) in pairs and (0, 2) not in pairs
+    got = (D.neardup_clusters(docs, threshold=0.5).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got.doc_id.tolist() == [0, 1, 2, 7, 8]
+    assert got.cluster.tolist() == [0, 0, 0, 7, 7]
+    assert got.is_canonical.tolist() == [1, 0, 0, 1, 0]
+    # md5 hash mode (the driver-gate configuration) lands on the same
+    # clusters as the production xxhash64 mode on this corpus
+    md5 = (D.neardup_clusters(docs, threshold=0.5, hash_mode="md5")
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    assert md5.equals(got)

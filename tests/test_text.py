@@ -70,3 +70,21 @@ def test_sample_edges_deterministic(spark):
     want = {(s, d) for s, d in set(pairs) if s != d and int(hashlib.md5(
         f"42|{s}|{d}".encode()).hexdigest()[:15], 16) % 5 == 0}
     assert a == want
+
+
+def test_contamination_overlap(spark):
+    from haskellpagerank_spark.functions.text import contamination_overlap
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f"),          # shares trigrams with probe
+         (1, "x y z q r s"),          # no overlap
+         (2, "a b c x y z q")],       # partial overlap
+        "doc_id long, text string")
+    probe = spark.createDataFrame(
+        [("a b c",), ("b c d",), ("c d e",)], "ngram string")
+    got = (contamination_overlap(docs, probe, n=3).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got.doc_id.tolist() == [0, 2]
+    # doc 0: 4 distinct trigrams, 3 in probe; doc 2: 5 distinct, 1 in probe
+    assert got.n_overlap.tolist() == [3, 1]
+    assert got.n_ngrams.tolist() == [4, 5]
+    assert got.overlap_frac.tolist() == [0.75, 0.2]
