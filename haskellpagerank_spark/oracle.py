@@ -874,3 +874,18 @@ def katz(src, dst, n, alpha=0.02, beta=1.0, num_iters=10):
         np.add.at(msgs, d, x[s])
         x = beta + alpha * msgs
     return x
+
+
+def eigenvector_centrality(src, dst, n, num_iters=20):
+    """Power iteration x <- normalize(A^T x) on the simple self-loop-free
+    directed graph (operators.centrality.eigenvector_centrality)."""
+    keep = src != dst
+    pairs = np.unique(np.stack([src[keep], dst[keep]], axis=1), axis=0)
+    s, d = pairs[:, 0], pairs[:, 1]
+    x = np.ones(n)
+    for _ in range(num_iters):
+        nxt = np.zeros(n)
+        np.add.at(nxt, d, x[s])
+        nrm = np.sqrt((nxt * nxt).sum())
+        x = nxt / nrm if nrm > 0 else nxt
+    return x

@@ -653,6 +653,16 @@ def _media(spark, sf_dir):
     )
 
 
+def _q_eigenvector_nation(spark, sf_dir):
+    """Eigenvector centrality, 20 normalized power-iteration sweeps
+    (centrality.eigenvector_centrality)."""
+    from .operators.centrality import eigenvector_centrality
+    res = eigenvector_centrality(nation_trade_graph(spark, sf_dir),
+                                 num_iters=20)
+    return res.df.select("id",
+                         F.round("eigenvector", 8).alias("eigenvector"))
+
+
 def _q_katz_nation(spark, sf_dir):
     """Katz centrality, 10 unrolled sweeps at alpha=0.02 (safe for the
     25-vertex nation graph: alpha * max_in_degree < 0.5)."""
@@ -1160,6 +1170,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "catalog_events_evolved": _q_catalog_events_evolved,
     "neardup_clusters": _q_neardup_clusters,
     "katz_nation": _q_katz_nation,
+    "eigenvector_nation": _q_eigenvector_nation,
     "contamination_trigram": _q_contamination,
     # ---- block 1 window padding: highest-leverage r02-verified queries,
     # re-confirmed each round while window slots remain (positions 34-50)
@@ -1540,6 +1551,8 @@ ORACLES: dict[str, str] = {
     "hits_nation": SQ.hits_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, 10),
     "katz_nation": SQ.katz_sql(NATION_EDGES_SQL, NATION_VERTS_SQL,
                                alpha=0.02, beta=1.0, iters=10),
+    "eigenvector_nation": SQ.eigenvector_sql(NATION_EDGES_SQL,
+                                             NATION_VERTS_SQL, iters=20),
     "ppr_nation": SQ.ppr_sql(NATION_EDGES_SQL, NATION_VERTS_SQL,
                              [0, 7, 14], 20, damping=DAMPING),
     "bfs_nation": SQ.bfs_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, [0],

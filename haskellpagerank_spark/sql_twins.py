@@ -1144,3 +1144,31 @@ def contamination_sql(n: int, probe_mod: int) -> str:
                ROUND(n_overlap::DOUBLE / n_ngrams, 6) AS overlap_frac
         FROM ov
     """
+
+
+def eigenvector_sql(edges_sql: str, verts_sql: str, iters: int,
+                    round_to: int = 8) -> str:
+    """Unrolled eigenvector-centrality power iteration (matches
+    operators.centrality.eigenvector_centrality fp-op for fp-op)."""
+    ctes = [
+        f"verts AS MATERIALIZED ({verts_sql})",
+        f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}) "
+        "WHERE src <> dst)",
+        "x0 AS MATERIALIZED (SELECT id, 1.0 AS s FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes += [
+            f"r{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(x.s) AS s "
+            f"FROM e JOIN x{p} x ON e.src = x.id GROUP BY 1)",
+            f"d{i} AS MATERIALIZED (SELECT v.id, COALESCE(r.s, 0.0) AS s "
+            f"FROM verts v LEFT JOIN r{i} r ON v.id = r.id)",
+            f"n{i} AS MATERIALIZED (SELECT sqrt(SUM(s * s)) AS nrm "
+            f"FROM d{i})",
+            f"x{i} AS MATERIALIZED (SELECT id, CASE WHEN "
+            f"(SELECT nrm FROM n{i}) > 0 THEN s / (SELECT nrm FROM n{i}) "
+            f"ELSE 0.0 END AS s FROM d{i})",
+        ]
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, ROUND(s, {round_to}) AS eigenvector "
+            f"FROM x{iters}")

@@ -162,3 +162,16 @@ def test_katz_matches_oracle(spark, name):
     want = oracle.katz(src, dst, n, alpha=0.02, beta=1.0, num_iters=10)
     got = np.array([rows[i] for i in range(n)])
     np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_eigenvector_matches_oracle(spark, name):
+    from haskellpagerank_spark.operators.centrality import (
+        eigenvector_centrality)
+    src, dst, n = _arrays(name)
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    res = eigenvector_centrality(g, num_iters=20)
+    rows = {r["id"]: r["eigenvector"] for r in res.df.collect()}
+    want = oracle.eigenvector_centrality(src, dst, n, num_iters=20)
+    got = np.array([rows[i] for i in range(n)])
+    np.testing.assert_allclose(got, want, atol=1e-9)
