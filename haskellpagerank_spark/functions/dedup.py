@@ -156,6 +156,35 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     )
 
 
+def band_keys(sigs: DataFrame, num_hashes: int, bands: int,
+              hash_mode: str = "xxhash64") -> DataFrame:
+    """(id, band, key): 8-byte LSH bucket keys from minhash signatures —
+    the only thing any LSH path ever shuffles besides doc ids."""
+    rows_per_band = num_hashes // bands
+    return sigs.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                _hash64(F.concat_ws(
+                    ",", *[F.element_at("sig", b * rows_per_band + r + 1)
+                           .cast("string") for r in range(rows_per_band)]
+                ), None, hash_mode).alias("key"),
+            ) for b in range(bands)
+        ])).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+
+
+def estimated_jaccard(sig_a, sig_b, num_hashes: int):
+    """Unbiased MinHash Jaccard estimate: fraction of agreeing positions.
+    Lets dedup state stay O(k) longs per doc — no shingles stored."""
+    agree = F.aggregate(
+        F.zip_with(sig_a, sig_b,
+                   lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v)
+    return agree / F.lit(float(num_hashes))
+
+
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
                       num_hashes: int = 64, bands: int = 16,
@@ -169,21 +198,9 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     recompute exact Jaccard on shingles (a join back to the shingle table).
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, text_col, id_col, n, num_hashes,
                               hash_mode)
-    bands_df = sigs.select(
-        "id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                _hash64(F.concat_ws(
-                    ",", *[F.element_at("sig", b * rows_per_band + r + 1)
-                           .cast("string") for r in range(rows_per_band)]
-                ), None, hash_mode).alias("key"),
-            ) for b in range(bands)
-        ])).alias("bk"),
-    ).select("id", "bk.band", "bk.key")
+    bands_df = band_keys(sigs, num_hashes, bands, hash_mode)
     cand = (
         bands_df.alias("x").join(
             bands_df.alias("y"), ["band", "key"])

@@ -138,3 +138,88 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                 F.col("w.end").alias("window_end"),
                 "event_type", "n_events", "total_value")
     )
+
+
+def neardup_filter_stream(docs: DataFrame, state_dir: str, out_dir: str,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          n: int = 3, num_hashes: int = 64, bands: int = 16,
+                          threshold: float = 0.8,
+                          hash_mode: str = "xxhash64",
+                          checkpoint_dir: str | None = None,
+                          available_now: bool = True) -> StreamingQuery:
+    """Cross-batch NEAR-dup filtering of a streaming documents source.
+
+    ``dedup_doc_stream`` only catches byte-identical re-deliveries; a crawl
+    also re-serves boilerplate-shifted copies of pages it has already
+    ingested. This operator keeps a MinHash *signature store* and drops any
+    arriving doc whose signature-estimated Jaccard against ANY
+    earlier-in-stream doc reaches ``threshold`` (duplicates-of-duplicates
+    drop too — the streaming analogue of functions.dedup.neardup_clusters'
+    keep-the-canonical semantics).
+
+    Per micro-batch (foreachBatch, so plain batch DataFrame semantics):
+
+    1. batch signatures via the batch kernel (``minhash_signatures`` — one
+       shared expression tree with the batch dedup path);
+    2. candidates = ``band_keys`` join of batch sigs vs the accumulated
+       store AND vs earlier-id batch sigs — only 8-byte band keys and doc
+       ids shuffle;
+    3. verification = ``estimated_jaccard`` on the k-long signatures (the
+       unbiased MinHash estimator) — state stays O(k) longs per doc ever
+       seen, never shingles or text;
+    4. every batch doc's signature lands in ``state_dir/batch=<id>`` and
+       survivor rows in ``out_dir/batch=<id>`` — both writes are keyed by
+       micro-batch id with mode("overwrite"), so a replayed batch
+       overwrites itself (idempotent under foreachBatch's at-least-once
+       contract).
+    """
+    from ..functions.dedup import (band_keys, estimated_jaccard,
+                                   minhash_signatures)
+
+    def _one_batch(bdf: DataFrame, batch_id: int) -> None:
+        sp = bdf.sparkSession
+        sigs = minhash_signatures(bdf, text_col, id_col, n, num_hashes,
+                                  hash_mode).persist()
+        bk = band_keys(sigs, num_hashes, bands, hash_mode)
+        cand = (
+            bk.alias("x").join(bk.alias("y"), ["band", "key"])
+            .where(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        )
+        try:
+            store = sp.read.parquet(state_dir).select("id", "sig")
+        except Exception:
+            store = None
+        if store is not None:
+            sbk = band_keys(store, num_hashes, bands, hash_mode)
+            cand = cand.unionByName(
+                sbk.alias("x").join(bk.alias("y"), ["band", "key"])
+                .select(F.col("x.id").alias("id_a"),
+                        F.col("y.id").alias("id_b")))
+            sig_lookup = store.unionByName(sigs)
+        else:
+            sig_lookup = sigs
+        cand = cand.dropDuplicates(["id_a", "id_b"])
+        dropped = (
+            cand.join(sig_lookup.select(F.col("id").alias("id_a"),
+                                        F.col("sig").alias("sig_a")), "id_a")
+            .join(sigs.select(F.col("id").alias("id_b"),
+                              F.col("sig").alias("sig_b")), "id_b")
+            .where(estimated_jaccard(F.col("sig_a"), F.col("sig_b"),
+                                     num_hashes) >= threshold)
+            .select(F.col("id_b").alias("_dup_id")).distinct()
+        )
+        survivors = bdf.join(
+            dropped, bdf[id_col] == dropped["_dup_id"], "left_anti")
+        survivors.write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}")
+        sigs.write.mode("overwrite").parquet(
+            f"{state_dir}/batch={batch_id}")
+        sigs.unpersist()
+
+    writer = docs.writeStream.foreachBatch(_one_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -304,6 +304,44 @@ def main() -> int:
         must_not=["BatchEvalPython", "CartesianProduct"],
     )
 
+    # 16. Katz / eigenvector gather sweep: one equi-join + two-phase sum
+    #     agg per sweep — the same audited shape as the PageRank superstep
+    kx = ng.vertices().select("id", F.lit(1.0).alias("score"))
+    katz_sweep = (
+        ng.edges.where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .join(kx.withColumnRenamed("id", "src"), "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.sum("score").alias("msg"))
+    )
+    audit(
+        "Katz/eigenvector gather sweep — join + partial/final sum agg",
+        katz_sweep,
+        must=["HashAggregate", "WholeStageCodegen"],
+        must_not=["BatchEvalPython", "CartesianProduct"],
+    )
+
+    # 17. contamination check: the probe set broadcasts; the corpus side
+    #     reads only (doc_id, text) and never exchanges before the join
+    from haskellpagerank_spark.functions.text import contamination_overlap
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toksc = F.split(F.trim(F.col("text")), r"\s+")
+    probe_grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size(toksc) - 2),
+        lambda i: F.array_join(F.slice(toksc, i, 3), " ")))
+    probe = (docs.where(F.col("doc_id") % 37 == 0)
+             .where(F.length(F.trim(F.col("text"))) > 0)
+             .where(F.size(toksc) >= 3)
+             .select(F.explode(probe_grams).alias("ngram")).distinct())
+    audit(
+        "contamination overlap — broadcast probe join, pruned corpus scan",
+        contamination_overlap(docs.where(F.col("doc_id") % 37 != 0), probe,
+                              n=3),
+        must=["BroadcastHashJoin", "ReadSchema: struct<doc_id:bigint,"
+              "text:string>"],
+        must_not=["BatchEvalPython", "SortMergeJoin"],
+    )
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

@@ -144,3 +144,39 @@ def test_dedup_doc_stream_across_batches(spark, tmp_path):
     assert got.count() == 3  # only gamma survived batch 2
     assert {r.text for r in got.collect()} == {
         "alpha text", "beta text", "gamma text"}
+
+
+def test_neardup_filter_stream_across_batches(spark, tmp_path):
+    """Cross-batch near-dup filtering: a boilerplate-shifted copy of an
+    already-accepted doc is dropped in a later micro-batch via the MinHash
+    signature store; genuinely new docs survive."""
+    from haskellpagerank_spark.streaming.ingest import neardup_filter_stream
+    in_dir, out, state, ck = (str(tmp_path / d)
+                              for d in ("nd_in", "nd_out", "nd_state", "ck"))
+    os.makedirs(in_dir)
+    schema = "doc_id long, text string"
+    base = " ".join(f"w{i}" for i in range(30))
+    near = " ".join(f"w{i}" for i in range(2, 32))       # ~0.87 Jaccard
+    other = " ".join(f"z{i}" for i in range(25))
+    other_near = " ".join(f"z{i}" for i in range(1, 26))
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = neardup_filter_stream(stream, state, out, threshold=0.5,
+                                  checkpoint_dir=ck)
+        q.awaitTermination(120)
+
+    b1 = spark.createDataFrame(
+        [(0, base), (1, near), (2, other)], schema)
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    got = spark.read.parquet(out)
+    assert {r.doc_id for r in got.collect()} == {0, 2}  # in-batch near-dup dropped
+
+    # batch 2: near-dup of batch-1 docs (cross-batch, via the store) + new
+    b2 = spark.createDataFrame(
+        [(3, other_near), (4, "completely different text entirely")], schema)
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    got = spark.read.parquet(out)
+    assert {r.doc_id for r in got.collect()} == {0, 2, 4}
