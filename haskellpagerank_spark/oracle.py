@@ -889,3 +889,30 @@ def eigenvector_centrality(src, dst, n, num_iters=20):
         nrm = np.sqrt((nxt * nxt).sum())
         x = nxt / nrm if nrm > 0 else nxt
     return x
+
+
+def coreness(src, dst, n):
+    """Core numbers by the classic min-degree peel (Batagelj-Zaversnik)
+    over the undirected simple graph — the independent check for the
+    distributed h-index fixpoint (operators.structure.coreness)."""
+    keep = src != dst
+    und = set()
+    for a, b in zip(src[keep].tolist(), dst[keep].tolist()):
+        und.add((a, b)); und.add((b, a))
+    nbrs = [[] for _ in range(n)]
+    for a, b in und:
+        nbrs[a].append(b)
+    deg = np.array([len(x) for x in nbrs])
+    core = np.zeros(n, dtype=np.int64)
+    alive = np.ones(n, dtype=bool)
+    k = 0
+    for _ in range(n):
+        cand = np.where(alive)[0]
+        v = cand[np.argmin(deg[cand])]
+        k = max(k, int(deg[v]))
+        core[v] = k
+        alive[v] = False
+        for u in nbrs[v]:
+            if alive[u]:
+                deg[u] -= 1
+    return core

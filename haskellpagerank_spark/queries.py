@@ -653,6 +653,14 @@ def _media(spark, sf_dir):
     )
 
 
+def _q_coreness_nation(spark, sf_dir):
+    """Full core decomposition via the distributed h-index fixpoint
+    (structure.coreness); nation graph converges in 3 rounds — the twin
+    unrolls 6 (no-op rounds at the fixpoint are harmless)."""
+    from .operators.structure import coreness
+    return coreness(nation_trade_graph(spark, sf_dir)).df
+
+
 def _q_eigenvector_nation(spark, sf_dir):
     """Eigenvector centrality, 20 normalized power-iteration sweeps
     (centrality.eigenvector_centrality)."""
@@ -1171,6 +1179,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_clusters": _q_neardup_clusters,
     "katz_nation": _q_katz_nation,
     "eigenvector_nation": _q_eigenvector_nation,
+    "coreness_nation": _q_coreness_nation,
     "contamination_trigram": _q_contamination,
     # ---- block 1 window padding: highest-leverage r02-verified queries,
     # re-confirmed each round while window slots remain (positions 34-50)
@@ -1553,6 +1562,8 @@ ORACLES: dict[str, str] = {
                                alpha=0.02, beta=1.0, iters=10),
     "eigenvector_nation": SQ.eigenvector_sql(NATION_EDGES_SQL,
                                              NATION_VERTS_SQL, iters=20),
+    "coreness_nation": SQ.coreness_sql(NATION_EDGES_SQL, NATION_VERTS_SQL,
+                                       rounds=6),
     "ppr_nation": SQ.ppr_sql(NATION_EDGES_SQL, NATION_VERTS_SQL,
                              [0, 7, 14], 20, damping=DAMPING),
     "bfs_nation": SQ.bfs_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, [0],

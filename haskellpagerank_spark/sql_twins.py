@@ -1172,3 +1172,32 @@ def eigenvector_sql(edges_sql: str, verts_sql: str, iters: int,
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT id, ROUND(s, {round_to}) AS eigenvector "
             f"FROM x{iters}")
+
+
+def coreness_sql(edges_sql: str, verts_sql: str, rounds: int) -> str:
+    """Unrolled h-index coreness fixpoint (matches operators.structure
+    .coreness); ``rounds`` must cover the measured convergence depth —
+    extra rounds are no-ops at the fixpoint."""
+    ctes = [
+        f"e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}) "
+        "WHERE src <> dst)",
+        "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0))",
+        f"verts AS MATERIALIZED ({verts_sql})",
+        "c0 AS MATERIALIZED (SELECT v.id, COALESCE(d.c, 0) AS c "
+        "FROM verts v LEFT JOIN (SELECT src AS id, COUNT(*) AS c FROM und "
+        "GROUP BY 1) d ON v.id = d.id)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes += [
+            f"h{i} AS MATERIALIZED (SELECT id, MAX(LEAST(rn, cn)) AS h "
+            f"FROM (SELECT u.src AS id, c.c AS cn, ROW_NUMBER() OVER "
+            f"(PARTITION BY u.src ORDER BY c.c DESC) AS rn "
+            f"FROM und u JOIN c{p} c ON u.dst = c.id) GROUP BY 1)",
+            f"c{i} AS MATERIALIZED (SELECT c{p}.id, "
+            f"LEAST(c{p}.c, COALESCE(h{i}.h, 0)) AS c "
+            f"FROM c{p} LEFT JOIN h{i} ON c{p}.id = h{i}.id)",
+        ]
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, c AS coreness FROM c{rounds}")

@@ -311,3 +311,15 @@ def test_wl_distinguishes_structure(spark):
            for r in wl_refinement(g, rounds=3).collect()}
     assert got[0] == got[3] and got[1] == got[2]
     assert got[0] != got[1]
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_coreness_matches_peel_oracle(spark, name):
+    from haskellpagerank_spark.operators.structure import coreness
+    src, dst, n = _arrays(name)
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    res = coreness(g)
+    rows = {r["id"]: r["coreness"] for r in res.df.collect()}
+    want = oracle.coreness(src, dst, n)
+    got = np.array([rows[i] for i in range(n)])
+    np.testing.assert_array_equal(got, want)
