@@ -89,13 +89,54 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000,
     )
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """NOT IMPLEMENTED in-sandbox: real pixel resize needs an image codec.
+def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
+    """STUB: stands in for an image decode (codec libs absent here).
 
-    Kept as an explicit, typed surface so callers compile; raises at plan
-    time rather than silently faking pixels.
+    Deterministic fake pixel grid: (height, width) uint8, row-major byte i
+    = sha256(payload)[i mod 32] — stable across partitions/retries so the
+    resize math downstream is exactly assertable. A real deployment
+    replaces only this function (e.g. PIL.Image.open -> np.asarray).
     """
-    raise NotImplementedError(
-        "image resize requires a codec library (PIL/opencv) not present in "
-        "this container; extract_features() demonstrates the Arrow plumbing"
-    )
+    dig = hashlib.sha256(payload).digest()
+    n = width * height
+    raw = (dig * (n // len(dig) + 1))[:n]
+    return np.frombuffer(raw, dtype=np.uint8).reshape(height, width)
+
+
+def resize_images(media: DataFrame, width: int, height: int,
+                  payload_col: str = "payload", id_col: str = "media_id",
+                  width_col: str = "width",
+                  height_col: str = "height") -> DataFrame:
+    """(media_id, width, height, pixels) — decode (stub) + REAL resize.
+
+    The decode is the clearly-marked stub above (no codecs in-container);
+    the resize itself is the genuine article: vectorized nearest-neighbor
+    index mapping (``grid[floor(y*h0/H)][:, floor(x*w0/W)]`` via numpy
+    fancy indexing), which is byte-for-byte what a production kernel does
+    after a real decode. Arrow-batched mapInPandas; rows with
+    kind != 'image' are filtered out before the kernel if a kind column is
+    present. ``pixels`` is the row-major resized grid as array<int>.
+    """
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ty = np.arange(height)
+        tx = np.arange(width)
+        for b in batches:
+            out = []
+            for p, w0, h0 in zip(b[payload_col], b[width_col],
+                                 b[height_col]):
+                grid = _decode_image_stub(bytes(p), int(w0), int(h0))
+                rows = (ty * int(h0)) // height
+                cols = (tx * int(w0)) // width
+                out.append(grid[rows][:, cols].reshape(-1)
+                           .astype(np.int64).tolist())
+            yield pd.DataFrame({"media_id": b[id_col],
+                                "width": np.int64(width),
+                                "height": np.int64(height),
+                                "pixels": out})
+
+    src = media
+    if "kind" in media.columns:
+        src = media.where(F.col("kind") == "image")
+    return src.select(id_col, payload_col, width_col, height_col).mapInPandas(
+        kernel,
+        schema="media_id long, width long, height long, pixels array<long>")

@@ -1038,6 +1038,24 @@ def _q_frame_sample_plan(spark, sf_dir):
         "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"))
 
 
+def _q_multimodal_resize(spark, sf_dir):
+    """Stub decode + REAL nearest-neighbor resize to 8x8 over the image
+    rows (deterministic per-row source dims); the gate checks the exact
+    integer pixel sum per media row against a DuckDB twin that re-derives
+    the sha256 pixel grid and the same floor-index mapping."""
+    from .functions.multimodal import resize_images
+    media = _media(spark, sf_dir).select(
+        "*",
+        ((F.col("media_id") * 13) % 48 + 16).cast("int").alias("width"),
+        ((F.col("media_id") * 29) % 48 + 16).cast("int").alias("height"),
+    )
+    resized = resize_images(media, 8, 8)
+    return resized.select(
+        "media_id", "width", "height",
+        F.aggregate("pixels", F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("pixel_sum"))
+
+
 def _q_benchparse_normalize(spark, sf_dir):
     """The reference's benchmarkparser pipeline (average -> min-max scale ->
     L2 normalize; benchmarkparser/Main.hs:120-183) over an events-derived
@@ -1180,6 +1198,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "katz_nation": _q_katz_nation,
     "eigenvector_nation": _q_eigenvector_nation,
     "coreness_nation": _q_coreness_nation,
+    "multimodal_resize": _q_multimodal_resize,
     "contamination_trigram": _q_contamination,
     # ---- block 1 window padding: highest-leverage r02-verified queries,
     # re-confirmed each round while window slots remain (positions 34-50)
@@ -1645,6 +1664,7 @@ ORACLES: dict[str, str] = {
         GROUP BY 1, 2
     """,
     "multimodal_features": SQ.multimodal_features_sql(),
+    "multimodal_resize": SQ.multimodal_resize_sql(8, 8),
     "multimodal_metadata": """
         SELECT doc_id AS media_id,
                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

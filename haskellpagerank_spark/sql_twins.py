@@ -1201,3 +1201,25 @@ def coreness_sql(edges_sql: str, verts_sql: str, rounds: int) -> str:
         ]
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT id, c AS coreness FROM c{rounds}")
+
+
+def multimodal_resize_sql(target_w: int = 8, target_h: int = 8) -> str:
+    """Twin of functions.multimodal.resize_images over the derived media
+    table's image rows: pixel (y, x) of the resized grid = sha256(text)
+    byte ((y*h0//H)*w0 + (x*w0//W)) mod 32 — the stub grid plus the same
+    floor nearest-neighbor index mapping; pixel_sum folds them exactly."""
+    return f"""
+WITH m AS (SELECT doc_id AS media_id, sha256(text) AS h,
+                  (doc_id * 13) % 48 + 16 AS w0,
+                  (doc_id * 29) % 48 + 16 AS h0
+           FROM documents WHERE doc_id % 3 = 0)
+SELECT media_id, CAST({target_w} AS BIGINT) AS width,
+       CAST({target_h} AS BIGINT) AS height,
+       CAST(list_sum(flatten(list_transform(range({target_h}), y ->
+           list_transform(range({target_w}), x ->
+               CAST('0x' || substr(h,
+                   2 * ((((y * h0) // {target_h}) * w0
+                         + ((x * w0) // {target_w})) % 32) + 1, 2)
+                    AS BIGINT))))) AS BIGINT) AS pixel_sum
+FROM m
+"""

@@ -306,3 +306,28 @@ def test_neardup_clusters_transitive_and_canonical(spark):
     md5 = (D.neardup_clusters(docs, threshold=0.5, hash_mode="md5")
            .toPandas().sort_values("doc_id").reset_index(drop=True))
     assert md5.equals(got)
+
+
+def test_resize_images_identity_and_mapping(spark):
+    """Resize to the source dims is the identity on the stub grid; a 2x
+    downscale picks exactly the floor-mapped pixels — the real
+    nearest-neighbor math a production kernel runs after decode."""
+    import hashlib
+    import numpy as np
+    from haskellpagerank_spark.functions.multimodal import (
+        _decode_image_stub, resize_images)
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(b"payload-a"), 8, 6),
+         (1, "audio", bytearray(b"payload-b"), 8, 6),   # filtered out
+         (2, "image", bytearray(b"payload-c"), 10, 4)],
+        "media_id long, kind string, payload binary, width int, height int")
+    same = resize_images(media.where("media_id = 0"), 8, 6).collect()[0]
+    grid = _decode_image_stub(b"payload-a", 8, 6)
+    assert same.pixels == grid.reshape(-1).tolist()
+    out = {r.media_id: r for r in resize_images(media, 4, 2).collect()}
+    assert set(out) == {0, 2}  # non-image rows never reach the kernel
+    g2 = _decode_image_stub(b"payload-c", 10, 4)
+    rows = (np.arange(2) * 4) // 2
+    cols = (np.arange(4) * 10) // 4
+    assert out[2].pixels == g2[rows][:, cols].reshape(-1).tolist()
+    assert (out[2].width, out[2].height) == (4, 2)
