@@ -234,6 +234,15 @@ def main() -> None:
     _consume(bt.df)
     queries["pages_bowtie"] = round(time.monotonic() - t0, 3)
 
+    # -- full core decomposition on the pages graph (h-index fixpoint:
+    #    one join + window-rank + agg per round until no vertex changes)
+    from haskellpagerank_spark.operators.structure import coreness
+    t0 = time.monotonic()
+    cres = coreness(pg)
+    _consume(cres.df)
+    queries["pages_coreness"] = round(time.monotonic() - t0, 3)
+    extra["coreness_rounds"] = cres.iterations
+
     # -- bigger-scale skew point: ~10M edges, 10 mega-hubs holding ~20% of
     #    all in-edges (~200k each) — far past the salting threshold, so this
     #    exercises hub salting in build_csr_blocks and AQE skew handling for

@@ -321,6 +321,28 @@ def main() -> int:
         must_not=["BatchEvalPython", "CartesianProduct"],
     )
 
+    # 16b. coreness h-index sweep: equi-join + per-vertex window rank +
+    #      agg — codegen'd end to end, one id-keyed shuffle per round
+    from pyspark.sql.window import Window as _W
+    from haskellpagerank_spark.operators.graph import (
+        undirected_simple_edges)
+    cund = undirected_simple_edges(ng)
+    clab = ng.vertices().select("id", F.lit(1).alias("c"))
+    cnbr = (cund.join(clab.select(F.col("id").alias("dst"),
+                                  F.col("c").alias("cn")), "dst")
+            .select(F.col("src").alias("id"), "cn"))
+    ch = (cnbr.withColumn(
+            "rn", F.row_number().over(
+                _W.partitionBy("id").orderBy(F.col("cn").desc())))
+          .groupBy("id")
+          .agg(F.max(F.least(F.col("rn"), F.col("cn"))).alias("h")))
+    audit(
+        "coreness h-index sweep — join + window rank + agg, codegen",
+        ch,
+        must=["HashAggregate", "WholeStageCodegen", "Window"],
+        must_not=["BatchEvalPython", "CartesianProduct"],
+    )
+
     # 17. contamination check: the probe set broadcasts; the corpus side
     #     reads only (doc_id, text) and never exchanges before the join
     from haskellpagerank_spark.functions.text import contamination_overlap
