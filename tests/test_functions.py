@@ -219,8 +219,11 @@ def test_multimodal_plumbing(spark):
     plan = M.frame_sample_plan(media, every_ms=1000).toPandas()
     assert set(plan.media_id) == {1, 3, 5}
     assert (plan.groupby("media_id").size() == 5).all()
-    with pytest.raises(NotImplementedError):
-        M.resize_images(media, 32, 32)
+    # resize is implemented (real NN mapping over the stub decode): the
+    # MEDIA_SCHEMA table carries width/height, so it runs directly
+    resized = M.resize_images(media, 32, 32).toPandas()
+    assert set(resized.media_id) == {0, 2, 4}  # image rows only
+    assert all(len(p) == 32 * 32 for p in resized.pixels)
 
 
 def test_quality_features_degenerate_doc(corpus):
