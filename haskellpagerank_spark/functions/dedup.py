@@ -331,6 +331,11 @@ def neardup_clusters(docs: DataFrame, text_col: str = "text",
               .withColumn("component", F.col("id")))
     res = _cc_frontier_loop(edges, labels, labels, max_iters, 0,
                             CheckpointManager(None))
+    if res.metrics and res.metrics[-1].extra.get("changed", 0) != 0:
+        raise RuntimeError(
+            f"neardup_clusters min-label fixpoint did not converge within "
+            f"max_iters={max_iters}; partial labels would mis-cluster long "
+            f"duplicate chains — raise max_iters")
     return res.df.select(
         F.col("id").alias("doc_id"),
         F.col("component").alias("cluster"),

@@ -1151,108 +1151,374 @@ def _q_events_hourly_windows(spark, sf_dir):
         F.round("total_value", 6).alias("total_value"))
 
 
-# Registration order matters: the external driver's correctness gate evaluates
-# exactly the FIRST 50 entries of queries() per round (CORRECTNESS_rN.json).
-# Block 1 below holds queries with no driver-verified row yet (the round-2
-# positions 51-83 wave) plus anything new this round; block 2 holds queries
-# already hash-exact in CORRECTNESS_r01/r02 (rows on record), rotated out of
-# the window.  Keep new queries at the TOP of block 1.
+# ---------------------------------------------- consolidated queries (r4)
+# The driver's correctness gate evaluates exactly the FIRST 50 entries of
+# queries() per round. Rounds 1-3 rotated a 90-entry registry through that
+# window; round 4 converges to <=50 CANONICAL entries so every operator is
+# permanently in-window (no rotation, no stale evidence). Where several
+# registry entries were physical-strategy or mode variants of one logical
+# query, the canonical entry now runs ALL variants and returns them
+# union-tagged (a `kind`/`strategy` column) or joined side-by-side — the
+# oracle twin repeats the reference SQL per tag, so a divergence in ANY
+# variant breaks the hash. Queries whose component twins already existed
+# reuse them verbatim (see _SQL below).
+
+def _q_pagerank_cs_strategies(spark, sf_dir):
+    """One driver row verifying all three PageRank execution paths on the
+    cs graph: the shuffle-join path and the CSR-SpMV path at 5 sweeps, and
+    the single-superstep run (the reference's one-superstep workhorse).
+    Any strategy diverging from the power-iteration oracle breaks the
+    hash."""
+    tag = lambda s, df: df.select(F.lit(s).alias("strategy"), "id", "rank")  # noqa: E731
+    return (
+        tag("join", _q_pagerank_cs_5(spark, sf_dir))
+        .unionByName(tag("spmv", _q_pagerank_spmv_cs_5(spark, sf_dir)))
+        .unionByName(tag("superstep", _q_pagerank_superstep(spark, sf_dir)))
+    )
+
+
+def _q_pagerank_nation_30_topk(spark, sf_dir):
+    """Full 30-sweep nation ranks plus the top-10 sort/limit operator
+    (§2.7), union-tagged."""
+    allr = _q_pagerank_nation_30(spark, sf_dir)
+    top = _q_pagerank_topk_nation(spark, sf_dir)
+    return (allr.select(F.lit("all").alias("kind"), "id", "rank")
+            .unionByName(top.select(F.lit("top10").alias("kind"),
+                                    "id", "rank")))
+
+
+def _q_cc_cs_strategies(spark, sf_dir):
+    """Connected components on the cs graph via all three tiers (shuffle
+    join / CSR-SpMV / COST-auto dispatch), union-tagged against one
+    min-label oracle."""
+    tag = lambda s, df: df.select(F.lit(s).alias("strategy"), "id", "component")  # noqa: E731
+    return (
+        tag("join", _q_cc_cs(spark, sf_dir))
+        .unionByName(tag("spmv", _q_cc_spmv_cs(spark, sf_dir)))
+        .unionByName(tag("auto", _q_cc_auto_cs(spark, sf_dir)))
+    )
+
+
+def _q_lp_cs_strategies(spark, sf_dir):
+    """Label propagation (3 sweeps, cs graph): distributed path and
+    COST-auto dispatch, union-tagged."""
+    tag = lambda s, df: df.select(F.lit(s).alias("strategy"), "id", "label")  # noqa: E731
+    return (tag("dist", _q_lp_cs_3(spark, sf_dir))
+            .unionByName(tag("auto", _q_lp_auto_cs_3(spark, sf_dir))))
+
+
+def _q_triangles_nation_all(spark, sf_dir):
+    """Triangle family in one row: per-vertex counts, the global count, and
+    the incremental (delta-enumeration) recount — global rows carry
+    id = -1."""
+    per = _q_triangles_per_vertex_nation(spark, sf_dir).select(
+        F.lit("per_vertex").alias("kind"), "id", "n_triangles")
+    tot = _q_triangles_nation(spark, sf_dir).select(
+        F.lit("global").alias("kind"), F.lit(-1).cast("long").alias("id"),
+        "n_triangles")
+    inc = _q_triangles_incremental_nation(spark, sf_dir).select(
+        F.lit("incremental").alias("kind"),
+        F.lit(-1).cast("long").alias("id"), "n_triangles")
+    return per.unionByName(tot).unionByName(inc)
+
+
+def _q_scc_nation_strategies(spark, sf_dir):
+    """SCC: trim+FW/BW join path and the COST-auto tier, union-tagged."""
+    tag = lambda s, df: df.select(F.lit(s).alias("strategy"), "id", "scc")  # noqa: E731
+    return (tag("joinpath", _q_scc_nation(spark, sf_dir))
+            .unionByName(tag("auto", _q_scc_auto_nation(spark, sf_dir))))
+
+
+def _q_coreness_kcore_nation(spark, sf_dir):
+    """Full h-index core decomposition plus the fixed-k peel (6-core
+    membership with within-core degree), union-tagged as (kind, id, v)."""
+    cn = _q_coreness_nation(spark, sf_dir).select(
+        F.lit("coreness").alias("kind"), "id",
+        F.col("coreness").cast("long").alias("v"))
+    kc = _q_kcore_nation(spark, sf_dir).select(
+        F.lit("kcore6").alias("kind"), "id",
+        F.col("deg").cast("long").alias("v"))
+    return cn.unionByName(kc)
+
+
+def _q_distances_nation(spark, sf_dir):
+    """Unweighted BFS hops and weighted Bellman-Ford distances from nation
+    0, union-tagged (bfs dist cast to double)."""
+    bfs = _q_bfs_nation(spark, sf_dir).select(
+        F.lit("bfs").alias("kind"), "id",
+        F.col("dist").cast("double").alias("dist"))
+    ss = _q_sssp_nation(spark, sf_dir).select(
+        F.lit("sssp").alias("kind"), "id", "dist")
+    return bfs.unionByName(ss)
+
+
+def _q_closeness_harmonic_nation(spark, sf_dir):
+    """Closeness and harmonic centrality side-by-side (both ride the shared
+    multi-landmark BFS), joined on id."""
+    cl = _q_closeness_nation(spark, sf_dir)
+    hm = _q_harmonic_nation(spark, sf_dir)
+    return cl.join(hm, "id").select("id", "closeness", "harmonic")
+
+
+def _q_hits_salsa_nation(spark, sf_dir):
+    """HITS and SALSA hub/authority scores, union-tagged."""
+    tag = lambda s, df: df.select(F.lit(s).alias("kind"), "id", "hub", "authority")  # noqa: E731
+    return (tag("hits", _q_hits_nation(spark, sf_dir))
+            .unionByName(tag("salsa", _q_salsa_nation(spark, sf_dir))))
+
+
+def _q_katz_eigenvector_nation(spark, sf_dir):
+    """Katz and eigenvector centrality, union-tagged as (kind, id, score)."""
+    kz = _q_katz_nation(spark, sf_dir).select(
+        F.lit("katz").alias("kind"), "id", F.col("katz").alias("score"))
+    ev = _q_eigenvector_nation(spark, sf_dir).select(
+        F.lit("eigenvector").alias("kind"), "id",
+        F.col("eigenvector").alias("score"))
+    return kz.unionByName(ev)
+
+
+def _q_teleport_rank_nation(spark, sf_dir):
+    """The two teleport-weighted PageRank variants — personalized (seeded)
+    PageRank and TrustRank — union-tagged."""
+    tag = lambda s, df: df.select(F.lit(s).alias("kind"), "id", "rank")  # noqa: E731
+    return (tag("ppr", _q_ppr_nation(spark, sf_dir))
+            .unionByName(tag("trustrank", _q_trustrank_nation(spark, sf_dir))))
+
+
+def _q_pair_scores_nation(spark, sf_dir):
+    """Neighborhood pair-similarity family (co-citation counts, Jaccard
+    neighbor similarity, Adamic-Adar), union-tagged as
+    (kind, a, b, common, score)."""
+    co = _q_cocitation_nation(spark, sf_dir).select(
+        F.lit("cocitation").alias("kind"), "a", "b", "common",
+        F.lit(0.0).alias("score"))
+    ja = _q_jaccard_neighbors_nation(spark, sf_dir).select(
+        F.lit("jaccard").alias("kind"), "a", "b", "common",
+        F.col("jac").alias("score"))
+    aa = _q_adamic_adar_nation(spark, sf_dir).select(
+        F.lit("adamic_adar").alias("kind"), "a", "b", "common", "score")
+    return co.unionByName(ja).unionByName(aa)
+
+
+def _q_graph_summary_assort_nation(spark, sf_dir):
+    """One-row graph dashboard with the degree-assortativity coefficient
+    cross-joined in (both single-row)."""
+    return _q_graph_summary_nation(spark, sf_dir).crossJoin(
+        _q_assortativity_nation(spark, sf_dir))
+
+
+def _q_coloring_seq_nation(spark, sf_dir):
+    """Sequential-semantics coloring family: greedy input-order, bounded
+    palette, and the 1D bucket layout, union-tagged (non-layout rows carry
+    -1 positions)."""
+    neg = F.lit(-1).cast("long")
+    gr = _q_coloring_greedy_nation(spark, sf_dir).select(
+        F.lit("greedy").alias("kind"), "id", "color",
+        neg.alias("pos"), neg.alias("seg_start"), neg.alias("seg_len"))
+    bd = _q_coloring_bounded_nation(spark, sf_dir).select(
+        F.lit("bounded").alias("kind"), "id", "color",
+        neg.alias("pos"), neg.alias("seg_start"), neg.alias("seg_len"))
+    ly = _q_coloring_layout_nation(spark, sf_dir).select(
+        F.lit("layout").alias("kind"), "id", "color",
+        F.col("pos"), F.col("start").alias("seg_start"),
+        F.col("length").alias("seg_len"))
+    return gr.unionByName(bd).unionByName(ly)
+
+
+def _q_coloring_parallel_nation(spark, sf_dir):
+    """Parallel-semantics coloring family: Jones-Plassmann (LCG
+    priorities), distance-2, and speculative-with-conflict-repair,
+    union-tagged."""
+    tag = lambda s, df: df.select(F.lit(s).alias("kind"), "id", "color")  # noqa: E731
+    return (tag("jp", _q_coloring_jp_nation(spark, sf_dir))
+            .unionByName(tag("d2", _q_coloring_d2_nation(spark, sf_dir)))
+            .unionByName(tag("speculative",
+                             _q_coloring_speculative_nation(spark, sf_dir))))
+
+
+def _q_graph_edges_nation(spark, sf_dir):
+    """Edge-transform family (invert, undirected merge, amendSinks
+    reflection with multiplicity, deterministic md5 sampling, per-source
+    frequency) union-tagged into a common (kind, a, b, c) shape."""
+    one = F.lit(1).cast("long")
+    neg = F.lit(-1).cast("long")
+    inv = _q_invert_nation(spark, sf_dir).select(
+        F.lit("invert").alias("kind"), F.col("src").alias("a"),
+        F.col("dst").alias("b"), one.alias("c"))
+    und = _q_undirected_nation(spark, sf_dir).select(
+        F.lit("undirected").alias("kind"), F.col("src").alias("a"),
+        F.col("dst").alias("b"), one.alias("c"))
+    amd = _q_amend_sinks_nation(spark, sf_dir).select(
+        F.lit("amend").alias("kind"), F.col("src").alias("a"),
+        F.col("dst").alias("b"), F.col("cnt").alias("c"))
+    smp = _q_sample_edges_nation(spark, sf_dir).select(
+        F.lit("sample").alias("kind"), F.col("src").alias("a"),
+        F.col("dst").alias("b"), one.alias("c"))
+    frq = _q_src_frequency_nation(spark, sf_dir).select(
+        F.lit("src_freq").alias("kind"), F.col("src").alias("a"),
+        neg.alias("b"), F.col("n").alias("c"))
+    return inv.unionByName(und).unionByName(amd).unionByName(smp) \
+        .unionByName(frq)
+
+
+def _q_degree_stats_cs(spark, sf_dir):
+    """Degree family on the cs graph: top-20 out-degrees, the out-degree
+    histogram, and sink detection, union-tagged as (kind, a, b)."""
+    tk = _q_out_degree_topk(spark, sf_dir).select(
+        F.lit("topk").alias("kind"), F.col("id").alias("a"),
+        F.col("deg").alias("b"))
+    hs = _q_degree_histogram(spark, sf_dir).select(
+        F.lit("hist").alias("kind"), F.col("deg").alias("a"),
+        F.col("n_vertices").alias("b"))
+    sk = _q_sinks(spark, sf_dir).select(
+        F.lit("sinks").alias("kind"), F.col("id").alias("a"),
+        F.lit(-1).cast("long").alias("b"))
+    return tk.unionByName(hs).unionByName(sk)
+
+
+def _q_text_features(spark, sf_dir):
+    """Per-document text-analysis family in one wide row: token stats,
+    quality features, language-ID votes, and the rolling fingerprint,
+    joined on doc_id."""
+    tok = _q_token_stats(spark, sf_dir)
+    qual = _q_quality(spark, sf_dir).select(
+        "doc_id", "unique_token_ratio", "stopword_ratio", "quality_score")
+    lang = _q_lang_id(spark, sf_dir)
+    fp = _q_fingerprint(spark, sf_dir)
+    return tok.join(qual, "doc_id").join(lang, "doc_id").join(fp, "doc_id")
+
+
+def _q_neardup_pairs(spark, sf_dir):
+    """Near-duplicate pair family: blocked n-gram Jaccard, SimHash Hamming
+    pairs, and MinHash+LSH banded pairs, union-tagged as
+    (kind, id_a, id_b, score)."""
+    ja = _q_neardup_jaccard(spark, sf_dir).select(
+        F.lit("jaccard").alias("kind"), "id_a", "id_b",
+        F.col("jaccard").alias("score"))
+    sh = _q_simhash_pairs(spark, sf_dir).select(
+        F.lit("simhash").alias("kind"), "id_a", "id_b",
+        F.col("hamming").cast("double").alias("score"))
+    mh = _q_minhash_lsh(spark, sf_dir).select(
+        F.lit("minhash").alias("kind"), "id_a", "id_b",
+        F.col("jaccard").alias("score"))
+    return ja.unionByName(sh).unionByName(mh)
+
+
+def _q_ann_pairs(spark, sf_dir):
+    """Embedding pair family: brute-force cosine pairs (exactness
+    baseline) and LSH-bucketed pairs, union-tagged."""
+    tag = lambda s, df: df.select(F.lit(s).alias("kind"), "id_a", "id_b", "cosine")  # noqa: E731
+    return (tag("brute", _q_cosine_pairs(spark, sf_dir))
+            .unionByName(tag("lsh", _q_ann_lsh(spark, sf_dir))))
+
+
+def _q_ann_topk_all(spark, sf_dir):
+    """ANN top-k family: brute-force baseline and IVF probed-cell re-rank,
+    union-tagged."""
+    tag = lambda s, df: df.select(F.lit(s).alias("kind"), "query_id", "neighbor_id", "cosine")  # noqa: E731
+    return (tag("brute", _q_ann_topk(spark, sf_dir))
+            .unionByName(tag("ivf", _q_ann_ivf(spark, sf_dir))))
+
+
+def _q_multimodal_pipeline(spark, sf_dir):
+    """Multimodal plumbing in one row per media: typed metadata, the
+    Arrow-batched stub-decode feature sum, and the frame-sample plan
+    compressed to (n_frames, max_frame_ms) — which pins the full
+    range(0, duration, 1000) plan exactly (fixed stride from 0). Non-video
+    rows carry -1."""
+    meta = _q_multimodal_metadata(spark, sf_dir)
+    feats = _q_multimodal_features(spark, sf_dir)
+    fr = (_q_frame_sample_plan(spark, sf_dir)
+          .groupBy("media_id")
+          .agg(F.count(F.lit(1)).alias("n_frames"),
+               F.max("frame_ts_ms").alias("max_frame_ms")))
+    return (meta.join(feats, "media_id").join(fr, "media_id", "left")
+            .select("media_id", "kind", "payload_bytes", "payload_md5",
+                    "feature_sum",
+                    F.coalesce("n_frames", F.lit(-1).cast("long"))
+                    .alias("n_frames"),
+                    F.coalesce("max_frame_ms", F.lit(-1).cast("long"))
+                    .alias("max_frame_ms")))
+
+
+def _q_events_rollups(spark, sf_dir):
+    """Event-rollup family: tumbling hourly per-type windows (streaming
+    shape in batch mode) and per-user daily rollups, union-tagged into
+    (kind, bucket, key, n_events, total_value). Session tz is UTC, so the
+    ntz cast is lossless."""
+    h = _q_events_hourly_windows(spark, sf_dir).select(
+        F.lit("hourly").alias("kind"),
+        F.col("window_start").alias("bucket"),
+        F.col("event_type").alias("key"), "n_events", "total_value")
+    d = _q_events_user_daily(spark, sf_dir).select(
+        F.lit("daily").alias("kind"),
+        F.col("day").cast("timestamp_ntz").alias("bucket"),
+        F.col("user_id").cast("string").alias("key"),
+        "n_events", "total_value")
+    return h.unionByName(d)
+
+
+# The canonical <=50 registry. Every entry gets a driver CORRECTNESS row
+# every round — no rotation. Folded variants (strategy tiers, mode twins,
+# per-family shapes) are inside the consolidated entries above; the three
+# registry keys retired outright are covered elsewhere: cc_nation (identical
+# fixpoint + oracle as cc_incremental_nation), lp_nation_5 (driver-verified
+# inside modularity_nation's composed twin), catalog_events_snapshot (strict
+# subset of catalog_events_evolved's commit/read seam).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- block 1: needs a driver row this round (33 from r02 + round-3 new)
-    "kcore_nation": _q_kcore_nation,
-    "domain_linkgraph": _q_domain_linkgraph,
-    "clustering_nation": _q_clustering_nation,
-    "cocitation_nation": _q_cocitation_nation,
-    "scc_nation": _q_scc_nation,
-    "scc_auto_nation": _q_scc_auto_nation,
-    "bowtie_nation": _q_bowtie_nation,
-    "sssp_nation": _q_sssp_nation,
-    "harmonic_nation": _q_harmonic_nation,
-    "adamic_adar_nation": _q_adamic_adar_nation,
-    "graph_summary_nation": _q_graph_summary_nation,
-    "walks_nation": _q_walks_nation,
-    "anchor_text_index": _q_anchor_text_index,
-    "ngram_counts": _q_ngram_counts,
-    "domain_pagerank": _q_domain_pagerank,
-    "session_stats": _q_session_stats,
-    "sample_edges_nation": _q_sample_edges_nation,
-    "wl_nation": _q_wl_nation,
-    "anf_nation": _q_anf_nation,
-    "betweenness_nation": _q_betweenness_nation,
-    "ktruss_nation": _q_ktruss_nation,
-    "modularity_nation": _q_modularity_nation,
-    "assortativity_nation": _q_assortativity_nation,
-    "closeness_nation": _q_closeness_nation,
-    "trustrank_nation": _q_trustrank_nation,
-    "salsa_nation": _q_salsa_nation,
-    "jaccard_neighbors_nation": _q_jaccard_neighbors_nation,
-    "multimodal_metadata": _q_multimodal_metadata,
-    "multimodal_features": _q_multimodal_features,
-    "frame_sample_plan": _q_frame_sample_plan,
-    "benchparse_normalize": _q_benchparse_normalize,
-    "events_hourly_windows": _q_events_hourly_windows,
-    "catalog_events_snapshot": _q_catalog_events_snapshot,
-    # ---- round-3 additions (must stay inside the 50-query window)
-    "catalog_events_evolved": _q_catalog_events_evolved,
-    "neardup_clusters": _q_neardup_clusters,
-    "katz_nation": _q_katz_nation,
-    "eigenvector_nation": _q_eigenvector_nation,
-    "coreness_nation": _q_coreness_nation,
-    "multimodal_resize": _q_multimodal_resize,
-    "contamination_trigram": _q_contamination,
-    # ---- block 1 window padding: highest-leverage r02-verified queries,
-    # re-confirmed each round while window slots remain (positions 34-50)
-    "pages_linkgraph_pagerank": _q_pages_pagerank,
-    "pagerank_cs_5": _q_pagerank_cs_5,
-    "pagerank_spmv_cs_5": _q_pagerank_spmv_cs_5,
-    "pagerank_nation_30": _q_pagerank_nation_30,
+    # ---- link-graph core (north rule)
+    "pagerank_cs_strategies": _q_pagerank_cs_strategies,
+    "pagerank_nation_30": _q_pagerank_nation_30_topk,
     "pagerank_pp_nation": _q_pagerank_pp_nation,
-    "cc_auto_cs": _q_cc_auto_cs,
-    "lp_auto_cs_3": _q_lp_auto_cs_3,
-    "triangle_count_nation": _q_triangles_nation,
-    "prism_nation": _q_prism_nation,
-    "corpus_prep": _q_corpus_prep,
-    "neardup_minhash_lsh": _q_minhash_lsh,
-    "ann_ivf_topk": _q_ann_ivf,
-    "events_user_daily": _q_events_user_daily,
-    "coloring_jp_nation": _q_coloring_jp_nation,
-    # ---- block 2: driver-verified in r01/r02 (hash-exact rows on record)
-    "out_degree_topk": _q_out_degree_topk,
-    "degree_histogram": _q_degree_histogram,
-    "sink_vertices": _q_sinks,
-    "invert_nation": _q_invert_nation,
-    "amend_sinks_nation": _q_amend_sinks_nation,
-    "pagerank_superstep_cs": _q_pagerank_superstep,
-    "cc_nation": _q_cc_nation,
-    "cc_cs": _q_cc_cs,
-    "cc_incremental_nation": _q_cc_incremental_nation,
-    "lp_nation_5": _q_lp_nation_5,
-    "lp_cs_3": _q_lp_cs_3,
-    "triangles_incremental_nation": _q_triangles_incremental_nation,
-    "triangles_per_vertex_nation": _q_triangles_per_vertex_nation,
-    "undirected_edges_nation": _q_undirected_nation,
-    "coloring_greedy_nation": _q_coloring_greedy_nation,
-    "token_stats": _q_token_stats,
-    "quality_features": _q_quality,
-    "lang_id": _q_lang_id,
-    "doc_fingerprint": _q_fingerprint,
-    "exact_dedup_groups": _q_exact_dedup,
-    "neardup_jaccard_blocked": _q_neardup_jaccard,
-    "neardup_simhash": _q_simhash_pairs,
-    "embedding_cosine_pairs": _q_cosine_pairs,
-    "ann_topk_bruteforce": _q_ann_topk,
-    "ann_lsh_pairs": _q_ann_lsh,
     "pagerank_reflect_nation_5": _q_pagerank_reflect_nation_5,
-    "pagerank_topk_nation": _q_pagerank_topk_nation,
-    "cc_spmv_cs": _q_cc_spmv_cs,
-    "coloring_d2_nation": _q_coloring_d2_nation,
-    "coloring_speculative_nation": _q_coloring_speculative_nation,
-    "coloring_bounded_nation": _q_coloring_bounded_nation,
-    "coloring_layout_nation": _q_coloring_layout_nation,
-    "src_frequency_nation": _q_src_frequency_nation,
-    "hits_nation": _q_hits_nation,
-    "ppr_nation": _q_ppr_nation,
-    "bfs_nation": _q_bfs_nation,
+    "pages_linkgraph_pagerank": _q_pages_pagerank,
+    "domain_pagerank": _q_domain_pagerank,
+    "domain_linkgraph": _q_domain_linkgraph,
+    "prism_nation": _q_prism_nation,
+    "cc_cs_strategies": _q_cc_cs_strategies,
+    "cc_incremental_nation": _q_cc_incremental_nation,
+    "lp_cs_strategies": _q_lp_cs_strategies,
+    "triangles_nation": _q_triangles_nation_all,
+    # ---- web-graph structure / centrality
+    "scc_nation_strategies": _q_scc_nation_strategies,
+    "bowtie_nation": _q_bowtie_nation,
+    "coreness_kcore_nation": _q_coreness_kcore_nation,
+    "ktruss_nation": _q_ktruss_nation,
+    "clustering_nation": _q_clustering_nation,
+    "pair_scores_nation": _q_pair_scores_nation,
+    "graph_summary_nation": _q_graph_summary_assort_nation,
+    "modularity_nation": _q_modularity_nation,
+    "anf_nation": _q_anf_nation,
+    "wl_nation": _q_wl_nation,
+    "walks_nation": _q_walks_nation,
+    "betweenness_nation": _q_betweenness_nation,
+    "distances_nation": _q_distances_nation,
+    "closeness_harmonic_nation": _q_closeness_harmonic_nation,
+    "hits_salsa_nation": _q_hits_salsa_nation,
+    "katz_eigenvector_nation": _q_katz_eigenvector_nation,
+    "teleport_rank_nation": _q_teleport_rank_nation,
+    # ---- coloring + edge transforms (reference §2.2/§2.6)
+    "coloring_seq_nation": _q_coloring_seq_nation,
+    "coloring_parallel_nation": _q_coloring_parallel_nation,
+    "graph_edges_nation": _q_graph_edges_nation,
+    "degree_stats_cs": _q_degree_stats_cs,
+    # ---- training-data pipeline
+    "text_features": _q_text_features,
+    "corpus_prep": _q_corpus_prep,
+    "ngram_counts": _q_ngram_counts,
+    "contamination_trigram": _q_contamination,
+    "exact_dedup_groups": _q_exact_dedup,
+    "neardup_pairs": _q_neardup_pairs,
+    "neardup_clusters": _q_neardup_clusters,
+    "ann_pairs": _q_ann_pairs,
+    "ann_topk": _q_ann_topk_all,
+    "anchor_text_index": _q_anchor_text_index,
+    "session_stats": _q_session_stats,
+    "events_rollups": _q_events_rollups,
+    "benchparse_normalize": _q_benchparse_normalize,
+    "catalog_events_evolved": _q_catalog_events_evolved,
+    "multimodal_pipeline": _q_multimodal_pipeline,
+    "multimodal_resize": _q_multimodal_resize,
 }
 
 
@@ -1267,7 +1533,11 @@ _SHINGLES_SQL = f"""
          ELSE [array_to_string(tok, ' ')] END
 """
 
-ORACLES: dict[str, str] = {
+# Component twin pool: one DuckDB-SQL twin per logical operator output,
+# keyed by the pre-consolidation registry names. The driver-facing ORACLES
+# dict below composes these (per-tag unions / joins) to mirror the
+# consolidated queries exactly.
+_SQL: dict[str, str] = {
     "out_degree_topk": f"""
         WITH verts AS ({CS_VERTS_SQL}),
         deg AS (SELECT src AS id, COUNT(*) AS deg FROM ({CS_EDGES_SQL})
@@ -1735,4 +2005,194 @@ ORACLES: dict[str, str] = {
                ROUND(SUM(value), 6) AS total_value
         FROM events GROUP BY 1, 2, 3
     """,
+}
+
+
+def _tagged_union(parts: list[tuple[str, str, str]], tag_col: str) -> str:
+    """Compose component twins into one tagged union: ``parts`` is a list of
+    (tag, select_list, component_sql)."""
+    return "\nUNION ALL\n".join(
+        f"SELECT '{tag}' AS {tag_col}, {sel} FROM ({sql}) _t_{tag}"
+        for tag, sel, sql in parts)
+
+
+ORACLES: dict[str, str] = {
+    # ---- link-graph core
+    "pagerank_cs_strategies": _tagged_union([
+        ("join", "id, rank", _SQL["pagerank_cs_5"]),
+        ("spmv", "id, rank", _SQL["pagerank_cs_5"]),
+        ("superstep", "id, rank", _SQL["pagerank_superstep_cs"]),
+    ], "strategy"),
+    "pagerank_nation_30": _tagged_union([
+        ("all", "id, rank", _SQL["pagerank_nation_30"]),
+        ("top10", "id, rank", _SQL["pagerank_topk_nation"]),
+    ], "kind"),
+    "pagerank_pp_nation": _SQL["pagerank_pp_nation"],
+    "pagerank_reflect_nation_5": _SQL["pagerank_reflect_nation_5"],
+    "pages_linkgraph_pagerank": _SQL["pages_linkgraph_pagerank"],
+    "domain_pagerank": _SQL["domain_pagerank"],
+    "domain_linkgraph": _SQL["domain_linkgraph"],
+    "prism_nation": _SQL["prism_nation"],
+    "cc_cs_strategies": _tagged_union([
+        ("join", "id, component", _SQL["cc_cs"]),
+        ("spmv", "id, component", _SQL["cc_cs"]),
+        ("auto", "id, component", _SQL["cc_cs"]),
+    ], "strategy"),
+    "cc_incremental_nation": _SQL["cc_incremental_nation"],
+    "lp_cs_strategies": _tagged_union([
+        ("dist", "id, label", _SQL["lp_cs_3"]),
+        ("auto", "id, label", _SQL["lp_cs_3"]),
+    ], "strategy"),
+    "triangles_nation": _tagged_union([
+        ("per_vertex", "id, n_triangles",
+         _SQL["triangles_per_vertex_nation"]),
+        ("global", "CAST(-1 AS BIGINT) AS id, n_triangles",
+         _SQL["triangle_count_nation"]),
+        ("incremental", "CAST(-1 AS BIGINT) AS id, n_triangles",
+         _SQL["triangle_count_nation"]),
+    ], "kind"),
+    # ---- structure / centrality
+    "scc_nation_strategies": _tagged_union([
+        ("joinpath", "id, scc", _SQL["scc_nation"]),
+        ("auto", "id, scc", _SQL["scc_nation"]),
+    ], "strategy"),
+    "bowtie_nation": _SQL["bowtie_nation"],
+    "coreness_kcore_nation": _tagged_union([
+        ("coreness", "id, CAST(coreness AS BIGINT) AS v",
+         _SQL["coreness_nation"]),
+        ("kcore6", "id, CAST(deg AS BIGINT) AS v", _SQL["kcore_nation"]),
+    ], "kind"),
+    "ktruss_nation": _SQL["ktruss_nation"],
+    "clustering_nation": _SQL["clustering_nation"],
+    "pair_scores_nation": _tagged_union([
+        ("cocitation", "a, b, common, 0.0 AS score",
+         _SQL["cocitation_nation"]),
+        ("jaccard", "a, b, common, jac AS score",
+         _SQL["jaccard_neighbors_nation"]),
+        ("adamic_adar", "a, b, common, score", _SQL["adamic_adar_nation"]),
+    ], "kind"),
+    "graph_summary_nation": (
+        f"SELECT * FROM ({_SQL['graph_summary_nation']}) s "
+        f"CROSS JOIN ({_SQL['assortativity_nation']}) a"),
+    "modularity_nation": _SQL["modularity_nation"],
+    "anf_nation": _SQL["anf_nation"],
+    "wl_nation": _SQL["wl_nation"],
+    "walks_nation": _SQL["walks_nation"],
+    "betweenness_nation": _SQL["betweenness_nation"],
+    "distances_nation": _tagged_union([
+        ("bfs", "id, CAST(dist AS DOUBLE) AS dist", _SQL["bfs_nation"]),
+        ("sssp", "id, dist", _SQL["sssp_nation"]),
+    ], "kind"),
+    "closeness_harmonic_nation": (
+        f"SELECT c.id, c.closeness, h.harmonic "
+        f"FROM ({_SQL['closeness_nation']}) c "
+        f"JOIN ({_SQL['harmonic_nation']}) h ON c.id = h.id"),
+    "hits_salsa_nation": _tagged_union([
+        ("hits", "id, hub, authority", _SQL["hits_nation"]),
+        ("salsa", "id, hub, authority", _SQL["salsa_nation"]),
+    ], "kind"),
+    "katz_eigenvector_nation": _tagged_union([
+        ("katz", "id, katz AS score", _SQL["katz_nation"]),
+        ("eigenvector", "id, eigenvector AS score",
+         _SQL["eigenvector_nation"]),
+    ], "kind"),
+    "teleport_rank_nation": _tagged_union([
+        ("ppr", "id, rank", _SQL["ppr_nation"]),
+        ("trustrank", "id, rank", _SQL["trustrank_nation"]),
+    ], "kind"),
+    # ---- coloring + edge transforms
+    "coloring_seq_nation": _tagged_union([
+        ("greedy", "id, color, CAST(-1 AS BIGINT) AS pos, "
+         "CAST(-1 AS BIGINT) AS seg_start, CAST(-1 AS BIGINT) AS seg_len",
+         _SQL["coloring_greedy_nation"]),
+        ("bounded", "id, color, CAST(-1 AS BIGINT) AS pos, "
+         "CAST(-1 AS BIGINT) AS seg_start, CAST(-1 AS BIGINT) AS seg_len",
+         _SQL["coloring_bounded_nation"]),
+        ("layout", "id, color, pos, \"start\" AS seg_start, "
+         "\"length\" AS seg_len", _SQL["coloring_layout_nation"]),
+    ], "kind"),
+    "coloring_parallel_nation": _tagged_union([
+        ("jp", "id, color", _SQL["coloring_jp_nation"]),
+        ("d2", "id, color", _SQL["coloring_d2_nation"]),
+        ("speculative", "id, color", _SQL["coloring_speculative_nation"]),
+    ], "kind"),
+    "graph_edges_nation": _tagged_union([
+        ("invert", "src AS a, dst AS b, CAST(1 AS BIGINT) AS c",
+         _SQL["invert_nation"]),
+        ("undirected", "src AS a, dst AS b, CAST(1 AS BIGINT) AS c",
+         _SQL["undirected_edges_nation"]),
+        ("amend", "src AS a, dst AS b, cnt AS c",
+         _SQL["amend_sinks_nation"]),
+        ("sample", "src AS a, dst AS b, CAST(1 AS BIGINT) AS c",
+         _SQL["sample_edges_nation"]),
+        ("src_freq", "src AS a, CAST(-1 AS BIGINT) AS b, n AS c",
+         _SQL["src_frequency_nation"]),
+    ], "kind"),
+    "degree_stats_cs": _tagged_union([
+        ("topk", "id AS a, deg AS b", _SQL["out_degree_topk"]),
+        ("hist", "deg AS a, n_vertices AS b", _SQL["degree_histogram"]),
+        ("sinks", "id AS a, CAST(-1 AS BIGINT) AS b",
+         _SQL["sink_vertices"]),
+    ], "kind"),
+    # ---- training-data pipeline
+    "text_features": f"""
+        SELECT t.doc_id, t.n_tokens, t.n_pieces, t.n_chars_measured,
+               t.avg_token_len, q.unique_token_ratio, q.stopword_ratio,
+               q.quality_score, l.hits_de, l.hits_en, l.hits_es, l.hits_fr,
+               l.lang_pred, f.fingerprint
+        FROM ({_SQL['token_stats']}) t
+        JOIN ({_SQL['quality_features']}) q ON t.doc_id = q.doc_id
+        JOIN ({_SQL['lang_id']}) l ON t.doc_id = l.doc_id
+        JOIN ({_SQL['doc_fingerprint']}) f ON t.doc_id = f.doc_id
+    """,
+    "corpus_prep": _SQL["corpus_prep"],
+    "ngram_counts": _SQL["ngram_counts"],
+    "contamination_trigram": _SQL["contamination_trigram"],
+    "exact_dedup_groups": _SQL["exact_dedup_groups"],
+    "neardup_pairs": _tagged_union([
+        ("jaccard", "id_a, id_b, jaccard AS score",
+         _SQL["neardup_jaccard_blocked"]),
+        ("simhash", "id_a, id_b, CAST(hamming AS DOUBLE) AS score",
+         _SQL["neardup_simhash"]),
+        ("minhash", "id_a, id_b, jaccard AS score",
+         _SQL["neardup_minhash_lsh"]),
+    ], "kind"),
+    "neardup_clusters": _SQL["neardup_clusters"],
+    "ann_pairs": _tagged_union([
+        ("brute", "id_a, id_b, cosine", _SQL["embedding_cosine_pairs"]),
+        ("lsh", "id_a, id_b, cosine", _SQL["ann_lsh_pairs"]),
+    ], "kind"),
+    "ann_topk": _tagged_union([
+        ("brute", "query_id, neighbor_id, cosine",
+         _SQL["ann_topk_bruteforce"]),
+        ("ivf", "query_id, neighbor_id, cosine", _SQL["ann_ivf_topk"]),
+    ], "kind"),
+    "anchor_text_index": _SQL["anchor_text_index"],
+    "session_stats": _SQL["session_stats"],
+    "events_rollups": f"""
+        SELECT 'hourly' AS kind, window_start AS bucket,
+               event_type AS "key", n_events, total_value
+        FROM ({_SQL['events_hourly_windows']}) h
+        UNION ALL
+        SELECT 'daily' AS kind, day AS bucket,
+               CAST(user_id AS VARCHAR) AS "key", n_events, total_value
+        FROM ({_SQL['events_user_daily']}) d
+    """,
+    "benchparse_normalize": _SQL["benchparse_normalize"],
+    "catalog_events_evolved": _SQL["catalog_events_evolved"],
+    "multimodal_pipeline": f"""
+        WITH fr AS (
+            SELECT media_id, COUNT(*) AS n_frames,
+                   MAX(frame_ts_ms) AS max_frame_ms
+            FROM ({_SQL['frame_sample_plan']}) GROUP BY 1
+        )
+        SELECT m.media_id, m.kind, m.payload_bytes, m.payload_md5,
+               f.feature_sum,
+               COALESCE(fr.n_frames, -1) AS n_frames,
+               COALESCE(fr.max_frame_ms, -1) AS max_frame_ms
+        FROM ({_SQL['multimodal_metadata']}) m
+        JOIN ({_SQL['multimodal_features']}) f ON m.media_id = f.media_id
+        LEFT JOIN fr ON m.media_id = fr.media_id
+    """,
+    "multimodal_resize": _SQL["multimodal_resize"],
 }

@@ -336,6 +336,21 @@ def encode_vertices(raw_edges: DataFrame) -> DataFrame:
     out = urls.mapInPandas(kernel, schema="url string, id long")
     out = out.localCheckpoint(eager=True)
     urls.unpersist()
+    # Invariant guard: correctness hinges on the persist() freezing the
+    # sorted partition layout between the counts collect and the sweep. If
+    # cached blocks were lost and recomputed under a different range
+    # partitioning, the broadcast pid->offset map no longer matches row
+    # placement and ids would silently duplicate or skip. The checkpointed
+    # output makes the check one cheap agg: ids must be exactly 0..N-1.
+    chk = out.agg(F.count(F.lit(1)).alias("n"),
+                  F.min("id").alias("lo"),
+                  F.max("id").alias("hi")).first()
+    if int(chk["n"]) != acc or (acc > 0 and (
+            int(chk["lo"]) != 0 or int(chk["hi"]) != acc - 1)):
+        raise RuntimeError(
+            f"encode_vertices dense-id invariant violated: expected ids "
+            f"0..{acc - 1}, got n={chk['n']} min={chk['lo']} max={chk['hi']}"
+            " — cached sort layout changed between passes")
     return out
 
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.errors import AnalysisException
 
 from ..sources.pages import PAGES_SCHEMA, extract_links
 
@@ -171,7 +172,12 @@ def neardup_filter_stream(docs: DataFrame, state_dir: str, out_dir: str,
        survivor rows in ``out_dir/batch=<id>`` — both writes are keyed by
        micro-batch id with mode("overwrite"), so a replayed batch
        overwrites itself (idempotent under foreachBatch's at-least-once
-       contract).
+       contract). The store read filters on the hive ``batch`` partition
+       column to *strictly earlier* batches: on a replay of batch N (crash
+       after the state write but before the checkpoint commit) the batch's
+       own ``batch=N`` signatures are already on disk, and without the
+       filter every replayed doc would band-match itself at estimated
+       Jaccard 1.0 and the whole batch would be dropped as duplicates.
     """
     from ..functions.dedup import (band_keys, estimated_jaccard,
                                    minhash_signatures)
@@ -186,10 +192,18 @@ def neardup_filter_stream(docs: DataFrame, state_dir: str, out_dir: str,
             .where(F.col("x.id") < F.col("y.id"))
             .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         )
+        store = None
         try:
-            store = sp.read.parquet(state_dir).select("id", "sig")
-        except Exception:
-            store = None
+            store = (sp.read.parquet(state_dir)
+                     .where(F.col("batch") < F.lit(batch_id))
+                     .select("id", "sig"))
+        except AnalysisException as exc:
+            # Only the store-not-yet-created case is expected; corrupt
+            # parquet / permission / IO errors must propagate — silently
+            # skipping the store would let near-dups through.
+            if "PATH_NOT_FOUND" not in str(exc) and \
+                    "Path does not exist" not in str(exc):
+                raise
         if store is not None:
             sbk = band_keys(store, num_hashes, bands, hash_mode)
             cand = cand.unionByName(

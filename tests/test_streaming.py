@@ -180,3 +180,39 @@ def test_neardup_filter_stream_across_batches(spark, tmp_path):
     drain()
     got = spark.read.parquet(out)
     assert {r.doc_id for r in got.collect()} == {0, 2, 4}
+
+
+def test_neardup_filter_stream_replay_idempotent(spark, tmp_path):
+    """foreachBatch replay safety: re-running a batch whose state write
+    already landed (crash after the state write, before the checkpoint
+    commit) must NOT classify the batch as duplicates of itself. The
+    signature-store read filters to strictly-earlier batch partitions, so
+    the replayed batch's own batch=N signatures are invisible to it."""
+    import shutil
+    from haskellpagerank_spark.streaming.ingest import neardup_filter_stream
+    in_dir, out, state, ck = (str(tmp_path / d)
+                              for d in ("rp_in", "rp_out", "rp_state", "ck"))
+    os.makedirs(in_dir)
+    schema = "doc_id long, text string"
+    base = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"z{i}" for i in range(25))
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = neardup_filter_stream(stream, state, out, threshold=0.5,
+                                  checkpoint_dir=ck)
+        q.awaitTermination(120)
+
+    b1 = spark.createDataFrame([(0, base), (1, other)], schema)
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {0, 1}
+
+    # Simulate the replay: the state write for batch 0 is on disk, but the
+    # checkpoint commit is lost — Spark re-delivers the same input as
+    # batch 0 again. Before the strictly-earlier-batch filter, every doc
+    # band-matched its own stored signature (est. Jaccard 1.0) and the
+    # replay overwrote out/batch=0 with ZERO survivors.
+    shutil.rmtree(ck)
+    drain()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {0, 1}
