@@ -540,7 +540,11 @@ def _q_ann_topk(spark, sf_dir):
 
 
 def _q_ann_lsh(spark, sf_dir):
-    return S.ann_lsh_pairs(_emb(spark, sf_dir), dim=64, threshold=0.35)
+    """rerank="sql" keeps the left-fold dot product the DuckDB twin
+    reproduces bit-exactly; production default is the Arrow einsum re-rank
+    (ulp-identical, pytest-pinned)."""
+    return S.ann_lsh_pairs(_emb(spark, sf_dir), dim=64, threshold=0.35,
+                           rerank="sql")
 
 
 def _q_ann_ivf(spark, sf_dir):

@@ -180,7 +180,8 @@ class Table:
 
     def commit(self, df: DataFrame, mode: str = "append",
                partition_by: list[str] | None = None,
-               operation: str | None = None) -> int:
+               operation: str | None = None,
+               max_retries: int = 4) -> int:
         """Write ``df`` as a new snapshot; returns the snapshot id.
 
         ``append`` keeps the parent snapshot's files; ``overwrite`` starts
@@ -189,10 +190,16 @@ class Table:
         leaves an orphan data dir and an unchanged table, never corruption.
         ``operation`` overrides the manifest's operation label (observability
         only — e.g. ``compact``).
+
+        Contention: on ``CommitConflict`` the commit is REBASED onto the new
+        parent and retried up to ``max_retries`` times (Iceberg-client
+        behavior) — the expensive data write happens exactly once; only the
+        manifest (parent's file list + our files with a fresh sequence
+        number) is rebuilt per attempt. ``max_retries=0`` restores
+        fail-fast semantics.
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown commit mode {mode!r}")
-        base = self.current_version()
         commit_id = uuid.uuid4().hex[:12]
         rel_dir = os.path.join("data", commit_id)
         out_dir = os.path.join(self.root, rel_dir)
@@ -201,7 +208,7 @@ class Table:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out_dir)
 
-        new_files: list[FileEntry] = []
+        raw_files: list[tuple[str, int, dict, dict]] = []
         for dirpath, _dirs, names in sorted(os.walk(out_dir)):
             for name in sorted(names):
                 if not name.endswith(".parquet"):
@@ -209,23 +216,43 @@ class Table:
                 abs_path = os.path.join(dirpath, name)
                 rel = os.path.relpath(abs_path, self.root)
                 rows, stats = _footer_stats(abs_path)
-                new_files.append(FileEntry(
-                    rel, rows, _partition_values(rel), stats, base + 1))
+                raw_files.append((rel, rows, _partition_values(rel), stats))
 
-        prev = self.files(base) if (mode == "append" and base >= 1) else []
-        prev_deletes = (self.manifest(base).get("delete_files", [])
-                        if (mode == "append" and base >= 1) else [])
-        manifest = {
-            "format": "hpr-table/2",
-            "snapshot_id": base + 1,
-            "parent_id": base or None,
-            "operation": operation or mode,
-            "partition_by": partition_by or [],
-            "schema": df.schema.json(),
-            "files": [f.to_json() for f in prev + new_files],
-            "delete_files": prev_deletes,
-        }
-        return self._publish(manifest, base, commit_id)
+        def build(base: int) -> dict:
+            new_files = [FileEntry(rel, rows, parts, stats, base + 1)
+                         for rel, rows, parts, stats in raw_files]
+            prev = self.files(base) if (mode == "append" and base >= 1) else []
+            prev_deletes = (self.manifest(base).get("delete_files", [])
+                            if (mode == "append" and base >= 1) else [])
+            return {
+                "format": "hpr-table/2",
+                "snapshot_id": base + 1,
+                "parent_id": base or None,
+                "operation": operation or mode,
+                "partition_by": partition_by or [],
+                "schema": df.schema.json(),
+                "files": [f.to_json() for f in prev + new_files],
+                "delete_files": prev_deletes,
+            }
+
+        return self._publish_with_retries(build, commit_id, max_retries)
+
+    def _publish_with_retries(self, build, commit_id: str,
+                              max_retries: int) -> int:
+        """Optimistic-retry wrapper: resolve the current parent, build the
+        manifest against it via ``build(base)``, attempt the atomic publish;
+        on ``CommitConflict`` re-resolve and rebuild (the new parent's file
+        list / delete list / schema are re-read inside ``build``) up to
+        ``max_retries`` extra attempts."""
+        attempt = 0
+        while True:
+            base = self.current_version()
+            try:
+                return self._publish(build(base), base, commit_id)
+            except CommitConflict:
+                attempt += 1
+                if attempt > max_retries:
+                    raise
 
     def _publish(self, manifest: dict, base: int, commit_id: str) -> int:
         """Atomically publish ``manifest`` as snapshot base+1.
@@ -259,60 +286,70 @@ class Table:
 
     # ------------------------------------------------- schema evolution
 
-    def add_columns(self, fields: list[tuple[str, str]]) -> int:
+    def add_columns(self, fields: list[tuple[str, str]],
+                    max_retries: int = 4) -> int:
         """Metadata-only schema evolution: append nullable columns
         (Iceberg add-column). Existing data files are untouched; reads fill
         the new columns with null for pre-evolution files because every
-        scan applies the manifest schema explicitly."""
+        scan applies the manifest schema explicitly. Retries on contention
+        re-read the new parent's schema and re-validate."""
         from pyspark.sql.types import DataType, StructType
-        man = self.manifest()
-        base = man["snapshot_id"]
-        schema = StructType.fromJson(json.loads(man["schema"]))
-        for name, dtype in fields:
-            if name in schema.fieldNames():
-                raise ValueError(f"column {name!r} already exists")
-            # fromDDL accepts the full DDL type grammar ("int", "string",
-            # "array<float>", ...); needs an active SparkSession (any
-            # realistic caller has one — commits are driver-side).
-            schema = schema.add(name, DataType.fromDDL(dtype), True)
-        new_man = {
-            **man,
-            "snapshot_id": base + 1,
-            "parent_id": base,
-            "operation": "add-columns",
-            "schema": schema.json(),
-        }
-        return self._publish(new_man, base, uuid.uuid4().hex[:12])
 
-    def drop_columns(self, names: list[str]) -> int:
+        def build(base: int) -> dict:
+            man = self.manifest(base)
+            schema = StructType.fromJson(json.loads(man["schema"]))
+            for name, dtype in fields:
+                if name in schema.fieldNames():
+                    raise ValueError(f"column {name!r} already exists")
+                # fromDDL accepts the full DDL type grammar ("int",
+                # "string", "array<float>", ...); needs an active
+                # SparkSession (commits are driver-side).
+                schema = schema.add(name, DataType.fromDDL(dtype), True)
+            return {
+                **man,
+                "snapshot_id": base + 1,
+                "parent_id": base,
+                "operation": "add-columns",
+                "schema": schema.json(),
+            }
+
+        return self._publish_with_retries(build, uuid.uuid4().hex[:12],
+                                          max_retries)
+
+    def drop_columns(self, names: list[str], max_retries: int = 4) -> int:
         """Metadata-only column drop: data files keep the bytes (time
         travel to older snapshots still sees them); current reads project
-        them away via the manifest schema."""
+        them away via the manifest schema. Retries on contention re-read
+        the new parent's schema and re-validate."""
         from pyspark.sql.types import StructType
-        man = self.manifest()
-        base = man["snapshot_id"]
-        schema = StructType.fromJson(json.loads(man["schema"]))
-        have = set(schema.fieldNames())
-        missing = [n for n in names if n not in have]
-        if missing:
-            raise ValueError(f"no such column(s): {missing}")
-        part = [n for n in names if n in (man["partition_by"] or [])]
-        if part:
-            raise ValueError(f"cannot drop partition column(s): {part}")
-        new_schema = StructType([f for f in schema.fields
-                                 if f.name not in set(names)])
-        new_man = {
-            **man,
-            "snapshot_id": base + 1,
-            "parent_id": base,
-            "operation": "drop-columns",
-            "schema": new_schema.json(),
-        }
-        return self._publish(new_man, base, uuid.uuid4().hex[:12])
+
+        def build(base: int) -> dict:
+            man = self.manifest(base)
+            schema = StructType.fromJson(json.loads(man["schema"]))
+            have = set(schema.fieldNames())
+            missing = [n for n in names if n not in have]
+            if missing:
+                raise ValueError(f"no such column(s): {missing}")
+            part = [n for n in names if n in (man["partition_by"] or [])]
+            if part:
+                raise ValueError(f"cannot drop partition column(s): {part}")
+            new_schema = StructType([f for f in schema.fields
+                                     if f.name not in set(names)])
+            return {
+                **man,
+                "snapshot_id": base + 1,
+                "parent_id": base,
+                "operation": "drop-columns",
+                "schema": new_schema.json(),
+            }
+
+        return self._publish_with_retries(build, uuid.uuid4().hex[:12],
+                                          max_retries)
 
     # ------------------------------------------------ merge-on-read deletes
 
-    def delete(self, keys: DataFrame, key_cols: list[str]) -> int:
+    def delete(self, keys: DataFrame, key_cols: list[str],
+               max_retries: int = 4) -> int:
         """Equality delete (Iceberg v2 merge-on-read): write the distinct
         ``key_cols`` tuples of ``keys`` as an immutable delete file and
         commit a metadata snapshot referencing it. No data file is
@@ -320,38 +357,53 @@ class Table:
         delete applies only to data files with a LOWER sequence number
         (rows appended after the delete are not affected, matching
         Iceberg's sequence-number semantics). ``compact`` purges deletes by
-        rewriting."""
-        man = self.manifest()
-        base = man["snapshot_id"]
-        schema_cols = {f["name"] for f in json.loads(man["schema"])["fields"]}
-        bad = [c for c in key_cols if c not in schema_cols]
+        rewriting.
+
+        Contention: the delete file is written once; a retry rebases onto
+        the new parent with a fresh sequence number and re-validates the
+        key columns against the (possibly evolved) schema. A rebased
+        equality delete also covers rows a concurrent append landed first —
+        the serialized-after-the-append semantics of "delete where key in
+        keys"."""
+        schema_probe = self.manifest()  # validates table non-empty early
+        probe_cols = {f["name"]
+                      for f in json.loads(schema_probe["schema"])["fields"]}
+        bad = [c for c in key_cols if c not in probe_cols]
         if bad:
             raise ValueError(f"delete key column(s) not in schema: {bad}")
         commit_id = uuid.uuid4().hex[:12]
         rel_dir = os.path.join("data", f"{commit_id}-delete")
         out_dir = os.path.join(self.root, rel_dir)
         keys.select(*key_cols).distinct().write.mode("error").parquet(out_dir)
-        del_files = []
+        raw_del = []
         for dirpath, _dirs, names in sorted(os.walk(out_dir)):
             for name in sorted(names):
                 if not name.endswith(".parquet"):
                     continue
                 abs_path = os.path.join(dirpath, name)
                 rows, _stats = _footer_stats(abs_path)
-                del_files.append({
-                    "path": os.path.relpath(abs_path, self.root),
-                    "rows": rows,
-                    "key_cols": list(key_cols),
-                    "seq": base + 1,
-                })
-        new_man = {
-            **man,
-            "snapshot_id": base + 1,
-            "parent_id": base,
-            "operation": "delete",
-            "delete_files": man.get("delete_files", []) + del_files,
-        }
-        return self._publish(new_man, base, commit_id)
+                raw_del.append((os.path.relpath(abs_path, self.root), rows))
+
+        def build(base: int) -> dict:
+            man = self.manifest(base)
+            cols = {f["name"] for f in json.loads(man["schema"])["fields"]}
+            gone = [c for c in key_cols if c not in cols]
+            if gone:
+                raise ValueError(
+                    f"delete key column(s) dropped concurrently: {gone}")
+            del_files = [{
+                "path": rel, "rows": rows,
+                "key_cols": list(key_cols), "seq": base + 1,
+            } for rel, rows in raw_del]
+            return {
+                **man,
+                "snapshot_id": base + 1,
+                "parent_id": base,
+                "operation": "delete",
+                "delete_files": man.get("delete_files", []) + del_files,
+            }
+
+        return self._publish_with_retries(build, commit_id, max_retries)
 
     def compact(self, spark: SparkSession, target_files: int = 8,
                 sort_by: list[str] | None = None) -> int:
@@ -481,7 +533,13 @@ class Table:
                     try:
                         v = type(bound)(v)
                     except ValueError:
-                        pass
+                        # partition value not coercible to the bound's type
+                        # (e.g. numeric range over a string partition):
+                        # pruning would be unsound and the raw comparison
+                        # below would TypeError — keep the file; the
+                        # row-level predicate still applies.
+                        keep.append(e)
+                        continue
                 if (lo is not None and v < lo) or (hi is not None and v > hi):
                     continue
             elif col in e.stats:

@@ -89,6 +89,29 @@ def maintain_ranks(spark: SparkSession, edges_dir: str, num_vertices: int,
     return run_pagerank_auto(g, cfg, init_ranks=prev_ranks)
 
 
+def maintain_ranks_prism(spark: SparkSession, edges_dir: str,
+                         num_vertices: int, prev_ranks: DataFrame | None = None,
+                         cfg=None):
+    """Prism-mode rank maintenance over a streamed (src, dst) sink — the
+    PageRank analogue of ``maintain_components``, composing the warm-start
+    delta path (operators/prism.py) with the streaming edge sink the way
+    the CC wrapper composes the incremental min-label operator.
+
+    Cold start (no ``prev_ranks``) converges the activation-set fixpoint
+    from scratch; with a previously converged state it pays ONE full |E|
+    join to re-derive the accumulated sums over the updated edge table,
+    then drains only the frontier the new batch actually disturbed — the
+    steady-state per-crawl-batch regime (benched as ``prism_maintain``).
+    Unlike ``maintain_ranks`` (power-iteration warm start, every sweep
+    still touches all |E|), the prism path's post-rederivation sweeps
+    shuffle only frontier-incident edges."""
+    from ..operators.graph import from_edge_df
+    from ..operators.prism import run_pagerank_incremental
+    g = from_edge_df(spark.read.parquet(edges_dir),
+                     num_vertices=num_vertices)
+    return run_pagerank_incremental(g, cfg, warm_ranks=prev_ranks)
+
+
 def dedup_doc_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exactly-once *cross-batch* exact dedup of a streaming documents
     source: the first arrival of each text wins; re-deliveries in the same

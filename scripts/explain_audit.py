@@ -331,13 +331,19 @@ def main() -> int:
     cnbr = (cund.join(clab.select(F.col("id").alias("dst"),
                                   F.col("c").alias("cn")), "dst")
             .select(F.col("src").alias("id"), "cn"))
-    ch = (cnbr.withColumn(
-            "rn", F.row_number().over(
-                _W.partitionBy("id").orderBy(F.col("cn").desc())))
+    # histogram h-index (round 4): the window runs over the per-vertex
+    # HISTOGRAM of neighbor c values (groupBy(id, cn) first — map-side
+    # combinable, hub rows collapse to <= distinct-c rows), never over raw
+    # neighbor rows — the 1e7-degree-hub single-task sort is gone
+    chist = cnbr.groupBy("id", "cn").agg(F.count(F.lit(1)).alias("cnt"))
+    ch = (chist.withColumn(
+            "cum", F.sum("cnt").over(
+                _W.partitionBy("id").orderBy(F.col("cn").desc())
+                .rowsBetween(_W.unboundedPreceding, _W.currentRow)))
           .groupBy("id")
-          .agg(F.max(F.least(F.col("rn"), F.col("cn"))).alias("h")))
+          .agg(F.max(F.least(F.col("cn"), F.col("cum"))).alias("h")))
     audit(
-        "coreness h-index sweep — join + window rank + agg, codegen",
+        "coreness h-index sweep — histogram agg BEFORE window (hub-safe)",
         ch,
         must=["HashAggregate", "WholeStageCodegen", "Window"],
         must_not=["BatchEvalPython", "CartesianProduct"],
@@ -362,6 +368,63 @@ def main() -> int:
         must=["BroadcastHashJoin", "ReadSchema: struct<doc_id:bigint,"
               "text:string>"],
         must_not=["BatchEvalPython", "SortMergeJoin"],
+    )
+
+    # 18. near-dup clustering: the LSH pair graph fans into the min-label
+    #     frontier loop — audit one frontier sweep over a pair-shaped edge
+    #     set: candidate labels pushed from the changed side only, two-phase
+    #     min agg, no Python anywhere
+    pairs = (docs.select(F.col("doc_id").alias("src"))
+             .withColumn("dst", F.col("src") + 1))
+    plab = pairs.select(F.col("src").alias("id")).distinct() \
+        .withColumn("component", F.col("id"))
+    psweep = (
+        pairs.join(plab.withColumnRenamed("id", "src"), "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.min("component").alias("cand"))
+    )
+    audit(
+        "neardup_clusters frontier sweep — min-label push, two-phase agg",
+        psweep,
+        must=["HashAggregate", "WholeStageCodegen"],
+        must_not=["BatchEvalPython", "CartesianProduct"],
+    )
+
+    # 19. streaming near-dup candidate join (the foreachBatch batch plan):
+    #     band keys join band keys — an 8-byte-key equi-join, never an
+    #     all-pairs product; signatures stay out of the shuffled key set
+    from haskellpagerank_spark.functions.dedup import (band_keys,
+                                                       minhash_signatures)
+    bsigs = minhash_signatures(docs.limit(500), "text", "doc_id", 3, 64,
+                               "xxhash64")
+    bk = band_keys(bsigs, 64, 16, "xxhash64")
+    cand = (bk.alias("x").join(bk.alias("y"), ["band", "key"])
+            .where(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")))
+    audit(
+        "streaming near-dup candidates — band-key equi-join, no all-pairs",
+        cand,
+        must=["WholeStageCodegen"],
+        must_not=["BatchEvalPython", "CartesianProduct",
+                  "BroadcastNestedLoopJoin"],
+    )
+
+    # 20. image resize kernel: Arrow-batched mapInPandas over a pruned
+    #     (media_id, payload, dims) projection — the one legitimate Python
+    #     hop (stub decode + vectorized index mapping), never row-at-a-time
+    from haskellpagerank_spark.functions.multimodal import resize_images
+    media = docs.limit(100).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        ((F.col("doc_id") * 13) % 48 + 16).cast("int").alias("width"),
+        ((F.col("doc_id") * 29) % 48 + 16).cast("int").alias("height"))
+    audit(
+        "multimodal resize — single Arrow-batched MapInPandas, no per-row "
+        "Python",
+        resize_images(media, 8, 8),
+        must=["MapInPandas"],
+        must_not=["BatchEvalPython"],
     )
 
     os.makedirs("BENCH", exist_ok=True)

@@ -93,6 +93,80 @@ def test_commit_conflict_detected(spark, tmp_path):
     assert t1.current_version() == 2  # table unharmed
 
 
+def test_concurrent_writers_both_land_via_retry(spark, tmp_path):
+    """Two writers racing from the same parent: the loser's optimistic
+    retry rebases onto the winner's snapshot and lands; no rows are lost
+    and the loser's files carry the higher sequence number."""
+    root = str(tmp_path / "t5r")
+    ev = _events(spark).limit(20)
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    Table(root).commit(ev.limit(0))  # v1: empty seed, shared parent
+
+    class Interleaved(Table):
+        """Simulates the race: the first current_version() call (the one
+        the commit builds against) returns the stale parent; by publish
+        time a concurrent writer has landed v2."""
+        def __init__(self, root, rival_df):
+            super().__init__(root)
+            self._rival = rival_df
+            self._raced = False
+
+        def current_version(self):
+            v = super().current_version()
+            if not self._raced:
+                self._raced = True
+                # rival lands v2 AFTER we resolved our base (v1)
+                Table(self.root).commit(self._rival)
+                return v
+            return super().current_version()
+
+    t_loser = Interleaved(root, rival_df=a)
+    v = t_loser.commit(b)  # internally: conflict at v2, rebase, land v3
+    assert v == 3
+    t = Table(root)
+    assert t.current_version() == 3
+    # no rows lost: current view = rival's rows + loser's rows
+    assert t.read(spark).count() == a.count() + b.count()
+    got = {r.event_id for r in t.read(spark).collect()}
+    want = {r.event_id for r in a.collect()} | {r.event_id for r in b.collect()}
+    assert got == want
+    # v1 seeded no files; rival's files carry seq 2, the rebased loser's 3
+    assert {f.seq for f in t.files()} == {2, 3}
+
+
+def test_delete_retry_rebases_onto_concurrent_append(spark, tmp_path):
+    """An equality delete that loses the race to a concurrent append
+    rebases with a higher sequence number, so it also covers the appended
+    rows — serialized-after-the-append semantics."""
+    root = str(tmp_path / "t5d")
+    ev = _events(spark).limit(20).select("event_id", "event_type", "value")
+    Table(root).commit(ev.where(F.col("event_id") % 2 == 0))
+
+    class Interleaved(Table):
+        def __init__(self, root, rival_df):
+            super().__init__(root)
+            self._rival = rival_df
+            self._raced = False
+
+        def current_version(self):
+            v = super().current_version()
+            if not self._raced:
+                self._raced = True
+                Table(self.root).commit(self._rival)
+                return v
+            return super().current_version()
+
+    # rival appends the odd rows while we delete event_id % 4 == 0
+    loser = Interleaved(root, rival_df=ev.where(F.col("event_id") % 2 == 1))
+    keys = ev.where(F.col("event_id") % 4 == 0).select("event_id")
+    v = loser.delete(keys, ["event_id"])
+    assert v == 3
+    got = {r.event_id for r in Table(root).read(spark).collect()}
+    want = {r.event_id for r in ev.where(F.col("event_id") % 4 != 0).collect()}
+    assert got == want  # delete seq > append seq: applies to both commits
+
+
 def test_schema_and_manifest_shape(spark, tmp_path):
     t = Table(str(tmp_path / "t6"))
     ev = _events(spark).select("event_id", "event_type")

@@ -180,6 +180,20 @@ def test_ann_lsh_recall_on_tight_clusters(emb):
     assert recall >= 0.9, f"LSH recall {recall:.2f}"
 
 
+def test_ann_lsh_rerank_arrow_matches_sql(emb):
+    """The production Arrow einsum re-rank and the oracle-exact SQL
+    left-fold re-rank must select the same pair set with cosines equal to
+    float ulp (they differ only in summation order)."""
+    a = S.ann_lsh_pairs(emb, dim=16, threshold=0.5, bits=8, tables=8,
+                        rerank="arrow").toPandas().sort_values(
+        ["id_a", "id_b"]).reset_index(drop=True)
+    s = S.ann_lsh_pairs(emb, dim=16, threshold=0.5, bits=8, tables=8,
+                        rerank="sql").toPandas().sort_values(
+        ["id_a", "id_b"]).reset_index(drop=True)
+    assert list(zip(a.id_a, a.id_b)) == list(zip(s.id_a, s.id_b))
+    np.testing.assert_allclose(a.cosine, s.cosine, atol=1e-9)
+
+
 def test_ann_lsh_dim768_arrow_kernel(spark):
     """Real-embedding-width LSH (dim 768): recall holds and the hyperplanes
     live in the kernel closure, NOT the query plan — with plan literals the

@@ -111,6 +111,49 @@ def test_maintain_ranks_over_ingested_batches(spark, tmp_path):
     assert warm.iterations < cold.iterations
 
 
+def test_maintain_ranks_prism_over_ingested_batches(spark, tmp_path):
+    """Prism-mode maintenance: stream two edge batches; the warm run after
+    batch 2 re-derives sums once, drains a small frontier, and lands on
+    the exact cold fixpoint of the updated graph — across a simulated
+    restart (state rebuilt purely from the parquet sink + prev ranks)."""
+    import numpy as np
+    from haskellpagerank_spark.operators.pagerank import PageRankConfig
+    from haskellpagerank_spark.streaming.ingest import (maintain_ranks_prism,
+                                                        stream_edge_lists)
+    src_dir, sink, ck = (str(tmp_path / d) for d in ("pin", "pedges", "pck"))
+    os.makedirs(src_dir)
+    cfg = PageRankConfig(damping=0.85, tol=1e-10, sink_mode="reflect",
+                         max_iters=300)
+
+    def ingest():
+        q = (stream_edge_lists(spark, src_dir)
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    n = 22
+    with open(f"{src_dir}/b1.txt", "w") as f:
+        f.write("".join(f"{i} 0\n" for i in range(1, 21)) + "0 1\n0 2\n")
+    ingest()
+    r1 = maintain_ranks_prism(spark, sink, num_vertices=n, cfg=cfg)
+    # simulate a driver restart: only the sink + the persisted rank table
+    # survive (materialize prev ranks through a parquet round-trip)
+    prev_path = str(tmp_path / "prev_ranks")
+    r1.ranks.write.mode("overwrite").parquet(prev_path)
+    prev = spark.read.parquet(prev_path)
+    with open(f"{src_dir}/b2.txt", "w") as f:
+        f.write("21 0\n0 3\n")
+    ingest()
+    warm = maintain_ranks_prism(spark, sink, num_vertices=n,
+                                prev_ranks=prev, cfg=cfg)
+    cold = maintain_ranks_prism(spark, sink, num_vertices=n, cfg=cfg)
+    w = warm.ranks.toPandas().sort_values("id")["rank"].to_numpy()
+    c = cold.ranks.toPandas().sort_values("id")["rank"].to_numpy()
+    np.testing.assert_allclose(w, c, atol=1e-9)
+    assert warm.iterations < cold.iterations
+
+
 def test_dedup_doc_stream_across_batches(spark, tmp_path):
     """Cross-batch exact dedup: a text re-delivered in a later micro-batch
     is dropped by the checkpointed dedup state; first arrival wins."""
