@@ -131,8 +131,9 @@ def test_concurrent_writers_both_land_via_retry(spark, tmp_path):
     got = {r.event_id for r in t.read(spark).collect()}
     want = {r.event_id for r in a.collect()} | {r.event_id for r in b.collect()}
     assert got == want
-    # v1 seeded no files; rival's files carry seq 2, the rebased loser's 3
-    assert {f.seq for f in t.files()} == {2, 3}
+    # v1's seed wrote only a zero-row file (seq 1); the rival's data files
+    # carry seq 2 and the rebased loser's seq 3
+    assert {f.seq for f in t.files() if f.rows > 0} == {2, 3}
 
 
 def test_delete_retry_rebases_onto_concurrent_append(spark, tmp_path):
