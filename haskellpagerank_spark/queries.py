@@ -1462,6 +1462,19 @@ def _q_events_rollups(spark, sf_dir):
     return h.unionByName(d)
 
 
+def _q_url_dedup_crawl(spark, sf_dir):
+    """Web-corpus hygiene: URL-canonical crawl dedup + PII accounting
+    (functions/urls.py). A deterministic messy crawl (3 captures/page ×
+    1000 pages with scheme-case/www/tracking/slash/fragment decorations
+    and PII-laced text) is generated in pure codegen, canonicalized, and
+    deduped in one shuffle; the DuckDB twin re-derives the identical
+    crawl from range() and canonicalizes with the same RE2 regex, so the
+    whole pipeline is hash-checked with no handoff."""
+    from .functions import urls as U
+    crawl = U.synthetic_crawl(spark, n_pages=1000, snapshots=3)
+    return U.dedup_crawl(crawl).orderBy("canonical_url")
+
+
 # The canonical <=50 registry. Every entry gets a driver CORRECTNESS row
 # every round — no rotation. Folded variants (strategy tiers, mode twins,
 # per-family shapes) are inside the consolidated entries above; the three
@@ -1523,6 +1536,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "catalog_events_evolved": _q_catalog_events_evolved,
     "multimodal_pipeline": _q_multimodal_pipeline,
     "multimodal_resize": _q_multimodal_resize,
+    "url_dedup_crawl": _q_url_dedup_crawl,
 }
 
 
@@ -2199,4 +2213,81 @@ ORACLES: dict[str, str] = {
         LEFT JOIN fr ON m.media_id = fr.media_id
     """,
     "multimodal_resize": _SQL["multimodal_resize"],
+    "url_dedup_crawl": """
+        WITH raw AS (
+            SELECT i // 3 AS pid, i % 3 AS s FROM range(0, 3000) t(i)
+        ),
+        crawl AS (
+            SELECT
+                (CASE WHEN (pid+s)%11=0 THEN 'HTTPS' ELSE 'https' END)
+                || '://'
+                || (CASE WHEN (pid+s)%5=0 THEN 'www.' ELSE '' END)
+                || (CASE WHEN (pid+s)%11=0
+                      THEN 'Site' || lpad(CAST(pid%40 AS VARCHAR),4,'0')
+                           || '.Example'
+                      ELSE 'site' || lpad(CAST(pid%40 AS VARCHAR),4,'0')
+                           || '.example' END)
+                || '/p' || lpad(CAST(pid AS VARCHAR),8,'0')
+                || (CASE WHEN (pid+s)%7=0 THEN '/' ELSE '' END)
+                || (CASE WHEN (pid+s)%3=0 AND pid%4=0
+                      THEN '?utm_source=feed&v=' || CAST(pid%3 AS VARCHAR)
+                           || '&ref=rss'
+                      WHEN (pid+s)%3=0 THEN '?utm_source=feed&ref=rss'
+                      WHEN pid%4=0 THEN '?v=' || CAST(pid%3 AS VARCHAR)
+                      ELSE '' END)
+                || (CASE WHEN (pid+s)%13=0 THEN '#sec2' ELSE '' END)
+                AS url,
+                CAST(1700000000 + pid*17 + s*3600 AS BIGINT) AS warc_epoch,
+                (CASE WHEN pid%6=0
+                   THEN 'contact u' || CAST(pid AS VARCHAR) || '@mail'
+                        || CAST(pid%10 AS VARCHAR)
+                        || '.example or +1-555-'
+                        || lpad(CAST(pid%1000 AS VARCHAR),3,'0') || '-'
+                        || lpad(CAST(pid%10000 AS VARCHAR),4,'0')
+                   ELSE 'page body ' || CAST(pid AS VARCHAR) END) AS text
+            FROM raw
+        ),
+        canon AS (
+            SELECT
+                lower(regexp_extract(url,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?',
+                    1)) || '://' ||
+                regexp_replace(lower(regexp_extract(url,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?',
+                    2)), '^www\\.', '') ||
+                regexp_replace(regexp_extract(url,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?',
+                    3), '/+$', '') ||
+                (CASE WHEN q = '' THEN '' ELSE '?' || q END)
+                AS canonical_url,
+                url, warc_epoch,
+                len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                    AS em,
+                len(regexp_extract_all(text,
+                    '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS ph
+            FROM (
+                SELECT *,
+                    COALESCE(array_to_string(list_sort(list_filter(
+                        string_split(regexp_replace(regexp_extract(url,
+                            '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?',
+                            4), '^\\?', ''), '&'),
+                        x -> x <> '' AND NOT (starts_with(x, 'utm_')
+                             OR starts_with(x, 'ref=')
+                             OR starts_with(x, 'fbclid=')
+                             OR starts_with(x, 'gclid=')))), '&'), '') AS q
+                FROM crawl
+            )
+        )
+        SELECT canonical_url,
+               COUNT(*) AS n_snapshots,
+               COUNT(DISTINCT url) AS n_raw_variants,
+               MAX(warc_epoch) AS last_epoch,
+               CAST(SUM(em) AS BIGINT) AS pii_emails,
+               CAST(SUM(ph) AS BIGINT) AS pii_phones
+        FROM canon
+        WHERE canonical_url <> ''
+        GROUP BY canonical_url
+        ORDER BY canonical_url
+    """,
 }
