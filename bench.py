@@ -342,6 +342,22 @@ def main() -> None:
     docs.unpersist()
     emb.unpersist()
 
+    # -- web hygiene: URL-canonical crawl dedup + PII accounting over a
+    #    900k-capture synthetic crawl (300k pages x 3 snapshots) — regex
+    #    canonicalization in codegen + one canonical-key agg
+    from haskellpagerank_spark.functions.urls import (dedup_crawl,
+                                                      synthetic_crawl)
+    n_pages = 300_000
+    dt_url, _, first_url = _best_of(
+        2, lambda: _consume(
+            dedup_crawl(synthetic_crawl(spark, n_pages=n_pages,
+                                        snapshots=3))),
+        warmup=1)
+    queries["url_dedup_crawl_300k"] = round(dt_url, 3)
+    runs["url_dedup_crawl_300k"] = 2
+    extra["url_dedup_captures_per_sec"] = round(n_pages * 3 / dt_url, 1)
+    extra["url_dedup_cold_first_run_s"] = round(first_url, 3)
+
     print(json.dumps({
         "metric": "pagerank_edges_per_sec",
         "value": round(edges_per_sec, 1),

@@ -48,6 +48,16 @@ def canonicalize_url(c: Column | str) -> Column:
     (no ``scheme://``) canonicalize to the empty string — callers filter
     them. DuckDB twin: same regex via ``regexp_extract(url, p, i)`` +
     ``list_sort``/``list_filter``/``array_to_string``.
+
+    Negative result (measured, round 4): rewriting the four
+    ``regexp_extract`` calls as ONE ``regexp_replace`` that emits
+    \\x01-joined groups plus a ``split`` is ~1.8x SLOWER steady-state
+    (400k urls x 3 snapshots, local[8], best-of-6: 1.31s vs 2.48s) —
+    projection collapse duplicates the split-array expression once per
+    part access (~6 copies) and codegen does not CSE it, so the "single
+    pass" runs more regex work than four anchored extracts. Cold/JIT
+    first-runs invert the comparison, which is how the rewrite first
+    looked 3x faster. Keep the extracts.
     """
     u = _col(c)
     scheme = F.lower(F.regexp_extract(u, URL_RE, 1))

@@ -427,6 +427,20 @@ def main() -> int:
         must_not=["BatchEvalPython"],
     )
 
+    # 21. URL-canonical crawl dedup: regex/array canonicalization entirely
+    #     inside codegen, then a two-phase agg keyed on the canonical URL
+    #     (the exact distinct count adds the standard second exchange) —
+    #     no Python, no joins, nothing wide in the shuffle
+    from haskellpagerank_spark.functions.urls import (dedup_crawl,
+                                                      synthetic_crawl)
+    audit(
+        "url_dedup_crawl — codegen canonicalization + canonical-key agg",
+        dedup_crawl(synthetic_crawl(spark, n_pages=2000, snapshots=3)),
+        must=["HashAggregate", "WholeStageCodegen"],
+        must_not=["BatchEvalPython", "CartesianProduct",
+                  "BroadcastNestedLoopJoin"],
+    )
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"
