@@ -106,11 +106,14 @@ def main() -> None:
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--query", default="both",
-                    choices=["both", "minhash", "ann_lsh"])
+                    choices=["both", "minhash", "ann_lsh", "url_dedup"])
+    ap.add_argument("--pages", type=int, default=300_000)
     args = ap.parse_args()
 
     from haskellpagerank_spark.functions.dedup import minhash_lsh_pairs
     from haskellpagerank_spark.functions.similarity import ann_lsh_pairs
+    from haskellpagerank_spark.functions.urls import (dedup_crawl,
+                                                      synthetic_crawl)
     from haskellpagerank_spark.session import get_spark
 
     spark = get_spark(app_name=f"scaling-dedup-{args.cores}",
@@ -144,6 +147,23 @@ def main() -> None:
                    ann_lsh_vecs_per_sec=round(args.vecs / best, 1),
                    ann_lsh_pairs=n_pairs)
         emb.unpersist()
+
+    if args.query == "url_dedup":
+        # URL-canonical crawl dedup: the pure map+agg hygiene kernel —
+        # unlike the LSH paths there is no candidate join, so this row
+        # evidences scaling of the regex/codegen map stage itself.
+        n_caps = args.pages * 3
+
+        def _run():
+            dedup_crawl(synthetic_crawl(
+                spark, n_pages=args.pages, snapshots=3)).count()
+
+        _run()  # warm-up run 1 (codegen + JIT)
+        best, first = steady_state(_run, args.warmup - 1, args.runs)
+        out.update(n_pages=args.pages,
+                   url_dedup_s=round(best, 3),
+                   url_dedup_cold_s=round(first, 3),
+                   url_dedup_captures_per_sec=round(n_caps / best, 1))
 
     print(json.dumps(out))
 
