@@ -275,13 +275,21 @@ def main() -> None:
     _consume(bt.df)
     queries["pages_bowtie"] = round(time.monotonic() - t0, 3)
 
-    # -- full core decomposition on the pages graph (h-index fixpoint:
-    #    one join + window-rank + agg per round until no vertex changes)
-    from haskellpagerank_spark.operators.structure import coreness
+    # -- full core decomposition on the pages graph: auto tier (COST pick
+    #    at this |E| is the driver-local Batagelj-Zaversnik bucket peel)
+    #    plus the distributed h-index fixpoint path (histogram per round)
+    from haskellpagerank_spark.operators.structure import (coreness,
+                                                           coreness_auto)
+    t0 = time.monotonic()
+    cres = coreness_auto(pg)
+    _consume(cres.df)
+    queries["pages_coreness"] = round(time.monotonic() - t0, 3)
+    extra["coreness_strategy"] = cres.metrics[0].extra.get(
+        "strategy", "distributed") if cres.metrics else "distributed"
     t0 = time.monotonic()
     cres = coreness(pg)
     _consume(cres.df)
-    queries["pages_coreness"] = round(time.monotonic() - t0, 3)
+    queries["pages_coreness_hindex"] = round(time.monotonic() - t0, 3)
     extra["coreness_rounds"] = cres.iterations
 
     # -- bigger-scale skew point: ~10M edges, 10 mega-hubs holding ~20% of

@@ -323,3 +323,41 @@ def test_coreness_matches_peel_oracle(spark, name):
     want = oracle.coreness(src, dst, n)
     got = np.array([rows[i] for i in range(n)])
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_coreness_local_matches_peel_oracle(spark, name):
+    from haskellpagerank_spark.operators.structure import coreness_local
+    src, dst, n = _arrays(name)
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    rows = {r["id"]: r["coreness"]
+            for r in coreness_local(g).df.collect()}
+    want = oracle.coreness(src, dst, n)
+    got = np.array([rows[i] for i in range(n)])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_coreness_local_kernel_random_parity():
+    # bucket-peel kernel vs the argmin-peel oracle on random COO graphs
+    from haskellpagerank_spark.operators.structure import (
+        _coreness_local_arrays)
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        n = int(rng.integers(2, 60))
+        m = int(rng.integers(0, n * 3 + 1))
+        s = rng.integers(0, n, m).astype(np.int64)
+        d = rng.integers(0, n, m).astype(np.int64)
+        np.testing.assert_array_equal(
+            _coreness_local_arrays(s, d, n), oracle.coreness(s, d, n))
+
+
+def test_coreness_auto_picks_local_and_matches(spark):
+    from haskellpagerank_spark.operators.structure import coreness_auto
+    name = FIXTURES[0]
+    src, dst, n = _arrays(name)
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    res = coreness_auto(g)
+    assert res.metrics[0].extra.get("strategy") == "local"
+    rows = {r["id"]: r["coreness"] for r in res.df.collect()}
+    got = np.array([rows[i] for i in range(n)])
+    np.testing.assert_array_equal(got, oracle.coreness(src, dst, n))
