@@ -1192,14 +1192,21 @@ def _q_pagerank_nation_30_topk(spark, sf_dir):
 
 
 def _q_cc_cs_strategies(spark, sf_dir):
-    """Connected components on the cs graph via all three tiers (shuffle
-    join / CSR-SpMV / COST-auto dispatch), union-tagged against one
-    min-label oracle."""
+    """Connected components on the cs graph via all four strategies (shuffle
+    join / CSR-SpMV / COST-auto dispatch / alternating large-small star),
+    union-tagged against one min-label oracle — the star path is
+    diameter-independent (Kiveris et al. SoCC'14) yet lands on identical
+    (id, component = min id) labels."""
+    from haskellpagerank_spark.operators.components_star import (
+        connected_components_star,
+    )
     tag = lambda s, df: df.select(F.lit(s).alias("strategy"), "id", "component")  # noqa: E731
+    g = cs_graph(spark, sf_dir)
     return (
         tag("join", _q_cc_cs(spark, sf_dir))
         .unionByName(tag("spmv", _q_cc_spmv_cs(spark, sf_dir)))
         .unionByName(tag("auto", _q_cc_auto_cs(spark, sf_dir)))
+        .unionByName(tag("star", connected_components_star(g).df))
     )
 
 
@@ -2055,6 +2062,7 @@ ORACLES: dict[str, str] = {
         ("join", "id, component", _SQL["cc_cs"]),
         ("spmv", "id, component", _SQL["cc_cs"]),
         ("auto", "id, component", _SQL["cc_cs"]),
+        ("star", "id, component", _SQL["cc_cs"]),
     ], "strategy"),
     "cc_incremental_nation": _SQL["cc_incremental_nation"],
     "lp_cs_strategies": _tagged_union([

@@ -441,6 +441,20 @@ def main() -> int:
                   "BroadcastNestedLoopJoin"],
     )
 
+    # 22. star CC round: one large-star + small-star pair. Both stars are a
+    #     map-side-combinable groupBy-min (partial_min -> exchange -> min)
+    #     plus a shuffle join co-partitioned on the same key — no cartesian
+    #     products, no Python, hub rows never serialize into one task.
+    from haskellpagerank_spark.operators.components_star import (
+        _large_star, _small_star)
+    audit(
+        "star CC round — partial-agg min + co-partitioned join per star",
+        _small_star(_large_star(g.edges)),
+        must=["HashAggregate", "partial_min"],
+        must_not=["BatchEvalPython", "CartesianProduct",
+                  "BroadcastNestedLoopJoin"],
+    )
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"
