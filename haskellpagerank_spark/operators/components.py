@@ -198,11 +198,21 @@ def _cc_frontier_loop(
     return IterativeResult(df=labels, iterations=it, metrics=metrics)
 
 
+# rounds of frontier min-label the top tier gets before the star fallback.
+# Crawl-shaped graphs converge in <10 (measured: 6 at 42M edges,
+# BENCH/crossover.json), so the budget never trips there; a long-diameter
+# adversary (a 2M-vertex path needs 2M supersteps ≈ 113 days measured rate)
+# trips it after ~16 cheap rounds and finishes in O(log n) star rounds.
+FRONTIER_ROUND_BUDGET = 16
+
+
 def connected_components_auto(g: Graph, **kw) -> IterativeResult:
     """Scale-tiered dispatch, mirroring pagerank_csr.run_pagerank_auto:
     driver-local numpy below LOCAL_MAX_EDGES (the COST regime), CSR-block
     SpMV while the label vector broadcasts comfortably, the shuffle-join
-    frontier path beyond. All three produce identical (id, component)."""
+    frontier path beyond — budgeted, with a diameter-independent
+    large/small-star fallback so auto NEVER runs O(diameter) unbounded.
+    All tiers produce identical (id, component = min id)."""
     from .components_csr import connected_components_spmv
     from .components_local import connected_components_local
     from .pagerank_csr import SPMV_MAX_VERTICES
@@ -212,7 +222,12 @@ def connected_components_auto(g: Graph, **kw) -> IterativeResult:
         return connected_components_local(g)
     if g.num_vertices <= SPMV_MAX_VERTICES:
         return connected_components_spmv(g)
-    return connected_components(g, **kw)
+    budget = kw.pop("max_iters", FRONTIER_ROUND_BUDGET)
+    res = connected_components(g, max_iters=budget, **kw)
+    if res.metrics and res.metrics[-1].extra.get("changed", 0) != 0:
+        from .components_star import finish_with_star
+        return finish_with_star(g, res)
+    return res
 
 
 def label_propagation_auto(g: Graph, num_iters: int = 5,

@@ -99,6 +99,48 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def finish_with_star(g: Graph, partial: "IterativeResult") -> IterativeResult:
+    """Finish an UNCONVERGED min-label run by star contraction.
+
+    Every intermediate min-label value is the id of some vertex in the same
+    component, so mapping each edge through the partial labels yields a
+    contracted graph whose components correspond 1:1 to the original's —
+    and the global min vertex m always has label m, so the contracted
+    component minimum IS the original component minimum. Compose:
+    final(v) = star_component(partial_label(v)). Exact, by construction.
+
+    This is `connected_components_auto`'s long-diameter escape hatch: the
+    frontier path converges in <10 rounds on crawl-shaped graphs (measured,
+    BENCH/crossover.json), so a small round budget costs nothing there, and
+    when a long chain blows past it this fallback bounds the total at
+    O(log n) star rounds instead of O(diameter) supersteps.
+    """
+    labels = partial.df
+    lab_src = labels.select(F.col("id").alias("src"),
+                            F.col("component").alias("ls"))
+    lab_dst = labels.select(F.col("id").alias("dst"),
+                            F.col("component").alias("ld"))
+    contracted = (
+        g.edges.join(lab_src, "src").join(lab_dst, "dst")
+        .select(F.col("ls").alias("src"), F.col("ld").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    star = connected_components_star(
+        Graph(edges=contracted, num_vertices=g.num_vertices))
+    comp = star.df.select(F.col("id").alias("component"),
+                          F.col("component").alias("final"))
+    final = (
+        labels.join(comp, "component")
+        .select("id", F.col("final").alias("component"))
+    )
+    return IterativeResult(
+        df=final,
+        iterations=partial.iterations + star.iterations,
+        metrics=partial.metrics + star.metrics,
+    )
+
+
 def connected_components_star(
     g: Graph,
     max_iters: int = 100,

@@ -61,7 +61,9 @@ def main() -> None:
     ap.add_argument("--sink-mode", default="reflect",
                     choices=["reflect", "redistribute", "none"])
     ap.add_argument("--strategy", default="auto",
-                    choices=["auto", "join", "spmv"])
+                    choices=["auto", "join", "spmv", "star"],
+                    help="star applies to --method cc only "
+                         "(diameter-independent large/small-star)")
     ap.add_argument("--checkpoint-dir")
     ap.add_argument("--output", help="write result parquet here")
     ap.add_argument("--seed", type=int, default=42,
@@ -142,10 +144,18 @@ def main() -> None:
     elif m == "cc":
         from haskellpagerank_spark.operators.components import (
             connected_components, connected_components_auto)
-        # checkpointing lives on the DataFrame frontier path; otherwise
-        # let the scale-tiered dispatch pick the physical strategy
-        res = (connected_components(g, checkpoint_dir=args.checkpoint_dir)
-               if args.checkpoint_dir else connected_components_auto(g))
+        # --strategy star = the diameter-independent large/small-star path
+        # (checkpointable); --checkpoint-dir alone = min-label frontier
+        # path; otherwise the scale-tiered dispatch picks the strategy
+        if args.strategy == "star":
+            from haskellpagerank_spark.operators.components_star import (
+                connected_components_star)
+            res = connected_components_star(
+                g, checkpoint_dir=args.checkpoint_dir)
+        elif args.checkpoint_dir:
+            res = connected_components(g, checkpoint_dir=args.checkpoint_dir)
+        else:
+            res = connected_components_auto(g)
         out, iters = res.df, res.iterations
         summary = {"n_components":
                    out.select("component").distinct().count()}

@@ -97,3 +97,53 @@ def test_star_cc_empty_and_isolated(spark):
     got = {r["id"]: r["component"]
            for r in connected_components_star(g).df.collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_finish_with_star_exact_after_budget(spark):
+    """Contract-and-finish: an unconverged min-label run composed with star
+    on the contracted graph lands on the exact labels."""
+    from haskellpagerank_spark.operators.components_star import (
+        finish_with_star,
+    )
+    n = 300
+    pairs = [(i, i + 1) for i in range(n - 1)] + [(150, 299), (7, 7)]
+    g = from_pairs(spark, pairs)
+    partial = connected_components(g, max_iters=3)
+    assert partial.metrics[-1].extra["changed"] != 0, "must be unconverged"
+    full = finish_with_star(g, partial)
+    got = {r["id"]: r["component"] for r in full.df.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert full.iterations > partial.iterations
+
+
+def test_auto_falls_back_to_star_past_budget(spark, monkeypatch):
+    """Force the join tier on a long path; the round budget trips and the
+    star fallback still returns exact labels."""
+    from haskellpagerank_spark.operators import components as C
+    from haskellpagerank_spark.operators import pagerank_csr, pagerank_local
+
+    monkeypatch.setattr(pagerank_local, "LOCAL_MAX_EDGES", 0)
+    monkeypatch.setattr(pagerank_csr, "SPMV_MAX_VERTICES", 0)
+    monkeypatch.setattr(C, "FRONTIER_ROUND_BUDGET", 4)
+    n = 128
+    g = from_pairs(spark, [(i, i + 1) for i in range(n - 1)])
+    res = C.connected_components_auto(g)
+    got = {r["id"]: r["component"] for r in res.df.collect()}
+    assert got == {i: 0 for i in range(n)}
+    # budget (4) + star rounds, far below the diameter (127)
+    assert res.iterations < 30
+
+
+def test_auto_no_fallback_when_converged(spark, monkeypatch):
+    """Low-diameter graph under the same forced tier: frontier converges
+    inside the budget, no star rounds are appended."""
+    from haskellpagerank_spark.operators import components as C
+    from haskellpagerank_spark.operators import pagerank_csr, pagerank_local
+
+    monkeypatch.setattr(pagerank_local, "LOCAL_MAX_EDGES", 0)
+    monkeypatch.setattr(pagerank_csr, "SPMV_MAX_VERTICES", 0)
+    g = from_pairs(spark, [(0, i) for i in range(1, 40)] + [(5, 17)])
+    res = C.connected_components_auto(g)
+    got = {r["id"]: r["component"] for r in res.df.collect()}
+    assert got == {i: 0 for i in range(40)}
+    assert res.metrics[-1].extra["changed"] == 0
