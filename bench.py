@@ -205,6 +205,14 @@ def main() -> None:
     t0 = time.monotonic()
     _consume(connected_components_spmv(g).df)
     queries["connected_components_spmv"] = round(time.monotonic() - t0, 3)
+    # the diameter-independent strategy (auto's long-chain fallback)
+    from haskellpagerank_spark.operators.components_star import (
+        connected_components_star)
+    t0 = time.monotonic()
+    star = connected_components_star(g)
+    _consume(star.df)
+    queries["connected_components_star"] = round(time.monotonic() - t0, 3)
+    extra["cc_star_rounds"] = star.iterations
 
     # -- steady-state component maintenance: incremental CC warm-started
     #    from the converged labels just computed — the disagreement scan
