@@ -23,7 +23,7 @@ def main() -> None:
     ap.add_argument("--n-vertices", type=int, required=True)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--strategy", default="spmv",
-                    choices=["spmv", "join", "local"])
+                    choices=["spmv", "join", "local", "star"])
     ap.add_argument("--algo", default="pagerank",
                     choices=["pagerank", "cc", "lp"])
     ap.add_argument("--shuffle-partitions", type=int, default=0)
@@ -51,9 +51,12 @@ def main() -> None:
             connected_components_spmv)
         from haskellpagerank_spark.operators.components_local import (
             connected_components_local)
+        from haskellpagerank_spark.operators.components_star import (
+            connected_components_star)
         ccrun = {"spmv": connected_components_spmv,
                  "join": connected_components,
-                 "local": connected_components_local}[args.strategy]
+                 "local": connected_components_local,
+                 "star": connected_components_star}[args.strategy]
         res = ccrun(g)
         res.df.count()
     elif args.algo == "lp":
