@@ -82,6 +82,24 @@ def _estimate(state: DataFrame) -> DataFrame:
     )
 
 
+def _sweep(e: DataFrame, state: DataFrame) -> DataFrame:
+    """One ANF union sweep: every register ORs its successors' registers.
+    Two-phase bit_or (map-side combined) + an (id, k) equi-join — the
+    shuffle is bounded by |V| x k rows regardless of degree skew."""
+    msgs = (
+        e.join(state.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(F.col("src").alias("id"), "k")
+        .agg(F.bit_or("s").alias("m"))
+    )
+    return (
+        state.join(msgs, ["id", "k"], "left")
+        .select("id", "k",
+                F.col("s").bitwiseOR(F.coalesce("m", F.lit(0)))
+                .alias("s"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def anf(g: Graph, radius: int, n_sketches: int = 8,
         seed: int = 42) -> StructureResult:
     """Run ``radius`` union sweeps; returns (id, ball_est) — the estimated
@@ -102,18 +120,7 @@ def anf(g: Graph, radius: int, n_sketches: int = 8,
     metrics: list[IterationMetrics] = []
     for it in range(1, radius + 1):
         t0 = time.monotonic()
-        msgs = (
-            e.join(state.withColumnRenamed("id", "dst"), "dst")
-            .groupBy(F.col("src").alias("id"), "k")
-            .agg(F.bit_or("s").alias("m"))
-        )
-        state = (
-            state.join(msgs, ["id", "k"], "left")
-            .select("id", "k",
-                    F.col("s").bitwiseOR(F.coalesce("m", F.lit(0)))
-                    .alias("s"))
-            .localCheckpoint(eager=True)
-        )
+        state = _sweep(e, state)
         nf_sum = float(_estimate(state).agg(
             F.sum("ball_est")).first()[0])
         metrics.append(IterationMetrics(
@@ -124,6 +131,83 @@ def anf(g: Graph, radius: int, n_sketches: int = 8,
     e.unpersist()
     return StructureResult(df=_estimate(state), iterations=radius,
                            metrics=metrics)
+
+
+class EffectiveDiameterResult:
+    """Outcome of the saturating ANF run.
+
+    ``effective_diameter`` is the interpolated smallest d with
+    N(d) >= q * N(saturation); ``nf`` is [N(0), N(1), ...] (estimated
+    neighborhood function, N(0) from the initial sketches); ``saturated``
+    is False only if ``max_radius`` sweeps ran without the curve
+    flattening (the estimate is then a lower bound)."""
+
+    def __init__(self, effective_diameter: float, q: float,
+                 nf: list[float], iterations: int, saturated: bool):
+        self.effective_diameter = effective_diameter
+        self.q = q
+        self.nf = nf
+        self.iterations = iterations
+        self.saturated = saturated
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return (f"EffectiveDiameterResult(d={self.effective_diameter}, "
+                f"q={self.q}, iters={self.iterations}, "
+                f"saturated={self.saturated})")
+
+
+def effective_diameter(g: Graph, q: float = 0.9, n_sketches: int = 32,
+                       seed: int = 42, max_radius: int = 64,
+                       stop_rtol: float = 1e-4) -> EffectiveDiameterResult:
+    """Interpolated q-effective diameter (Palmer/Gibbons/Faloutsos ANF,
+    KDD 2002; HyperBall stopping rule, Boldi-Rosa-Vigna WWW 2011): run
+    union sweeps until the neighborhood function stops growing (relative
+    change < ``stop_rtol``), then return the smallest hop count d, linearly
+    interpolated between integer sweeps, at which the average ball covers a
+    q-fraction of its saturation size.
+
+    THE summary statistic for a web crawl ("90% of reachable pairs are
+    within d hops") that is unobtainable by all-pairs BFS at scale: cost is
+    O(effective diameter) sweeps of |E| join + |V| x k bit_or rows — same
+    per-sweep shape (and the same skew bound) as ``anf``. Deterministic:
+    same sketches, same curve, every run and engine.
+    """
+    if not 0.0 < q <= 1.0:
+        raise ValueError("q must be in (0, 1]")
+    if max_radius < 1:
+        raise ValueError("max_radius must be >= 1")
+    spark = g.spark
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = g.edges.where(F.col("src") != F.col("dst")) \
+        .dropDuplicates(["src", "dst"]) \
+        .repartition(shuffle_p, "dst").persist()
+    e.count()
+    state = fm_sketches(g, n_sketches, seed) \
+        .repartition(shuffle_p, "id").localCheckpoint(eager=True)
+    nf = [float(_estimate(state).agg(F.sum("ball_est")).first()[0] or 0.0)]
+    saturated = False
+    it = 0
+    for it in range(1, max_radius + 1):
+        state = _sweep(e, state)
+        nf.append(float(_estimate(state).agg(
+            F.sum("ball_est")).first()[0] or 0.0))
+        if nf[-1] <= nf[-2] * (1.0 + stop_rtol):
+            saturated = True
+            break
+    e.unpersist()
+    target = q * nf[-1]
+    d = float(len(nf) - 1)
+    for t in range(len(nf)):
+        if nf[t] >= target:
+            if t == 0 or nf[t] <= nf[t - 1]:
+                d = float(t)
+            else:
+                d = (t - 1) + (target - nf[t - 1]) / (nf[t] - nf[t - 1])
+                d = max(d, 0.0)
+            break
+    return EffectiveDiameterResult(
+        effective_diameter=round(d, 6), q=q, nf=nf, iterations=it,
+        saturated=saturated)
 
 
 def anf_sql(edges_sql: str, verts_sql: str, radius: int,

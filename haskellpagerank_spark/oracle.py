@@ -654,6 +654,48 @@ def anf(src, dst, n, radius, n_sketches=8, seed=42):
     return out
 
 
+def neighborhood_function(src, dst, n):
+    """Exact N(t) = #{(v, u) : dist(v->u) <= t} including u = v, by BFS
+    from every vertex. Returns [N(0), N(1), ..., N(D)] where D is the
+    largest finite eccentricity (N stops growing after D)."""
+    from collections import deque
+
+    succ = {}
+    for s, d in set(zip(src.tolist(), dst.tolist())):
+        if s != d:
+            succ.setdefault(s, []).append(d)
+    counts = {}  # t -> number of pairs at exactly distance t
+    for v in range(n):
+        dist = {v: 0}
+        q = deque([v])
+        while q:
+            u = q.popleft()
+            for w in succ.get(u, ()):
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        for t in dist.values():
+            counts[t] = counts.get(t, 0) + 1
+    nf, acc = [], 0
+    for t in range(max(counts) + 1):
+        acc += counts.get(t, 0)
+        nf.append(acc)
+    return nf
+
+
+def effective_diameter_exact(src, dst, n, q=0.9):
+    """Exact interpolated q-effective diameter — same interpolation rule as
+    operators.anf.effective_diameter, over the exact BFS curve."""
+    nf = neighborhood_function(src, dst, n)
+    target = q * nf[-1]
+    for t, v in enumerate(nf):
+        if v >= target:
+            if t == 0 or nf[t] <= nf[t - 1]:
+                return float(t)
+            return (t - 1) + (target - nf[t - 1]) / (nf[t] - nf[t - 1])
+    return float(len(nf) - 1)
+
+
 def betweenness(src, dst, n, sources=None):
     """Brandes betweenness (directed, unweighted, endpoints excluded);
     ``sources`` defaults to all vertices (exact bc)."""

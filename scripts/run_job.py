@@ -26,7 +26,7 @@ Methods (determineMethod, Main.hs:75-85 + north-rule additions):
   cc          connected components (auto-tiered; join path if checkpointing)
   lp          label propagation (auto-tiered; join path if checkpointing)
   triangles   triangle count
-  scc / bowtie / hits / kcore / clustering / summary / walks
+  scc / bowtie / hits / kcore / clustering / summary / walks / effdiam
               structure + centrality extensions (operators/structure.py,
               centrality.py, walks.py); --num-iters doubles as k for kcore
               and walk length for walks
@@ -218,6 +218,12 @@ def main() -> None:
         res = anf(g, radius=args.num_iters or 8)
         out, iters = res.df, res.iterations
         summary = {"nf": [m_.extra["nf_sum"] for m_ in res.metrics]}
+    elif m == "effdiam":
+        from haskellpagerank_spark.operators.anf import effective_diameter
+        res = effective_diameter(g, max_radius=args.num_iters or 64)
+        out, iters = None, res.iterations
+        summary = {"effective_diameter": res.effective_diameter,
+                   "q": res.q, "saturated": res.saturated, "nf": res.nf}
     elif m in ("betweenness", "harmonic", "closeness"):
         # landmark set: all vertices up to 1024, else the first 1024 ids
         # (sampled-landmark estimate; exact on small graphs)
@@ -240,7 +246,7 @@ def main() -> None:
         raise SystemExit(f"unknown method {m!r} (see --help)")
     run_s = time.monotonic() - t0
 
-    if args.output:
+    if args.output and out is not None:  # effdiam is summary-only
         if vertices is not None and "id" in out.columns:
             out = out.join(vertices, "id")
         out.write.mode("overwrite").parquet(args.output)

@@ -52,3 +52,65 @@ def test_anf_tracks_true_ball_sizes(spark):
     assert got[0] == pytest.approx(21, rel=0.35)
     assert 1.0 <= got[5] <= 2.6
     assert got[0] > 4 * got[5]
+
+
+def test_effective_diameter_curve_matches_oracle_sums(spark):
+    # determinism: the estimated neighborhood function at each sweep equals
+    # the sum of the hashlib-oracle per-vertex estimates (same sketches)
+    from haskellpagerank_spark.operators.anf import effective_diameter
+
+    name = "doubleSquare"
+    src, dst, n = oracle.parse_edges(FIXTURE_EDGES[name])
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    res = effective_diameter(g, q=0.9, n_sketches=8)
+    for t, got in enumerate(res.nf):
+        want = sum(oracle.anf(src, dst, n, radius=t).values())
+        assert got == pytest.approx(want, rel=1e-9)
+    assert res.saturated
+    # rerun -> identical result (deterministic seeding, no RNG anywhere)
+    res2 = effective_diameter(g, q=0.9, n_sketches=8)
+    assert res2.effective_diameter == res.effective_diameter
+    assert res2.nf == res.nf
+
+
+def test_effective_diameter_path_tracks_exact(spark):
+    # directed 31-vertex path: nf is nearly linear in t, so sketch error
+    # (~1/sqrt(64)) translates into a bounded shift of the interpolated d
+    from haskellpagerank_spark.operators.anf import effective_diameter
+
+    n = 31
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    src, dst, _ = oracle.parse_edges(pairs)
+    exact = oracle.effective_diameter_exact(src, dst, n, q=0.9)
+    g = from_pairs(spark, pairs)
+    res = effective_diameter(g, q=0.9, n_sketches=64)
+    assert res.saturated
+    assert res.iterations >= n // 2  # must actually walk the path
+    assert res.effective_diameter == pytest.approx(exact, rel=0.25)
+
+
+def test_effective_diameter_star_saturates_fast(spark):
+    from haskellpagerank_spark.operators.anf import effective_diameter
+
+    g = from_pairs(spark, [(0, i) for i in range(1, 21)])
+    res = effective_diameter(g, q=0.9, n_sketches=64)
+    assert res.saturated
+    assert res.iterations <= 3
+    assert 0.0 <= res.effective_diameter <= 1.5
+
+
+def test_effective_diameter_no_edges(spark):
+    from haskellpagerank_spark.operators.anf import effective_diameter
+
+    g = from_pairs(spark, [(0, 0), (1, 1), (2, 2)])  # self-loops dropped
+    res = effective_diameter(g, q=0.9, n_sketches=16)
+    assert res.saturated
+    assert res.effective_diameter == 0.0
+
+
+def test_neighborhood_function_oracle_exact_values():
+    # path 0->1->2->3: N(0)=4, N(1)=7, N(2)=9, N(3)=10
+    src, dst, n = oracle.parse_edges([(0, 1), (1, 2), (2, 3)])
+    assert oracle.neighborhood_function(src, dst, n) == [4, 7, 9, 10]
+    # q=1.0 -> full (finite) diameter
+    assert oracle.effective_diameter_exact(src, dst, n, q=1.0) == 3.0
