@@ -85,3 +85,22 @@ def test_dedup_crawl_single_shuffle(spark):
     # one logical shuffle on the canonical key; countDistinct adds the
     # standard second partial-agg exchange (still keyed on canonical_url)
     assert plan.count("Exchange") <= 2
+
+
+def test_canonicalize_idempotent_property(spark):
+    # canonicalize(canonicalize(u)) == canonicalize(u): a canonical form is
+    # a fixed point, so re-crawling already-canonical URLs never re-splits
+    # a dedup group. Deterministic structured fuzz over the grammar axes
+    # (case, www, tracking params, param order, fragment, trailing slash).
+    import itertools
+
+    schemes = ["http://", "HTTPS://"]
+    hosts = ["www.Ex-A.com", "ex-a.com", "sub.ex-a.com."]
+    paths = ["", "/", "/p/q/", "/p%20q"]
+    queries = ["", "?b=2&a=1", "?utm_source=x", "?utm_source=x&k=v&k2="]
+    frags = ["", "#top"]
+    raw = ["".join(parts) for parts in
+           itertools.product(schemes, hosts, paths, queries, frags)]
+    once = _canon(spark, raw)
+    twice = _canon(spark, once)
+    assert twice == once
