@@ -210,31 +210,21 @@ def effective_diameter(g: Graph, q: float = 0.9, n_sketches: int = 32,
         saturated=saturated)
 
 
-def anf_sql(edges_sql: str, verts_sql: str, radius: int,
-            n_sketches: int = 8, seed: int = 42) -> str:
-    """DuckDB twin of ``anf`` — same md5 seeding, same bit arithmetic,
-    unrolled sweeps."""
+def _twin_ctes(edges_sql: str, verts_sql: str, radius: int,
+               n_sketches: int, seed: int) -> list[str]:
+    """Shared DuckDB CTE chain: seeded registers s0, then unrolled union
+    sweeps s1..s{radius} — same md5 seeding, same bit arithmetic as the
+    Spark operator."""
     ctes = [
         f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}) "
         "WHERE src <> dst)",
         f"ks AS MATERIALIZED (SELECT UNNEST(range({n_sketches})) AS k)",
-        "s0 AS MATERIALIZED (SELECT v.id, ks.k, "
-        "CAST(1 AS BIGINT) << LEAST(bit_count((h & -h) - 1), 50) AS s "
-        "FROM (SELECT id, CAST('0x' || substr(md5("
-        f"CAST({seed} AS VARCHAR) || '|' || CAST(ks2.k AS VARCHAR) || '|' "
-        "|| CAST(v2.id AS VARCHAR)), 1, 15) AS BIGINT) AS h, ks2.k AS kk "
-        f"FROM ({verts_sql}) v2, (SELECT UNNEST(range({n_sketches})) AS k) "
-        "ks2) t(id, h, k0), "
-        f"({verts_sql}) v, ks "
-        "WHERE t.id = v.id AND t.k0 = ks.k)",
-    ]
-    # simpler: rebuild s0 directly (the above double-join form is awkward)
-    ctes[2] = (
         "s0 AS MATERIALIZED (SELECT id, k, CAST(1 AS BIGINT) << "
         "LEAST(bit_count((h & -h) - 1), 50) AS s FROM ("
         f"SELECT v.id, ks.k, CAST('0x' || substr(md5(CAST({seed} AS VARCHAR)"
         " || '|' || CAST(ks.k AS VARCHAR) || '|' || CAST(v.id AS VARCHAR)), "
-        f"1, 15) AS BIGINT) AS h FROM ({verts_sql}) v, ks))")
+        f"1, 15) AS BIGINT) AS h FROM ({verts_sql}) v, ks))",
+    ]
     for i in range(1, radius + 1):
         p = i - 1
         ctes += [
@@ -245,10 +235,105 @@ def anf_sql(edges_sql: str, verts_sql: str, radius: int,
             f"s.s | COALESCE(m.m, 0) AS s FROM s{p} s "
             f"LEFT JOIN m{i} m ON s.id = m.id AND s.k = m.k)",
         ]
+    return ctes
+
+
+def _est_sql(state: str) -> str:
+    """DuckDB per-vertex estimate over a register CTE — mirrors
+    ``_estimate`` (6-decimal round)."""
     return (
-        "WITH " + ",\n".join(ctes)
-        + f"""
-        SELECT id, ROUND(pow(2.0, avg_r) / {FM_PHI!r}, 6) AS ball_est
-        FROM (SELECT id, AVG(bit_count(((~s) & (s + 1)) - 1)) AS avg_r
-              FROM s{radius} GROUP BY 1)"""
+        f"SELECT id, ROUND(pow(2.0, avg_r) / {FM_PHI!r}, 6) AS ball_est "
+        "FROM (SELECT id, AVG(bit_count(((~s) & (s + 1)) - 1)) AS avg_r "
+        f"FROM {state} GROUP BY 1)"
+    )
+
+
+def anf_sql(edges_sql: str, verts_sql: str, radius: int,
+            n_sketches: int = 8, seed: int = 42) -> str:
+    """DuckDB twin of ``anf`` — same md5 seeding, same bit arithmetic,
+    unrolled sweeps."""
+    ctes = _twin_ctes(edges_sql, verts_sql, radius, n_sketches, seed)
+    return "WITH " + ",\n".join(ctes) + "\n" + _est_sql(f"s{radius}")
+
+
+def anf_with_effdiam(g: Graph, radius: int, n_sketches: int = 8,
+                     seed: int = 42, q: float = 0.9) -> DataFrame:
+    """Gate-surface composition: one tagged union ``(kind, id, val)`` of
+
+    - ``('ball', v, ball_est)`` — per-vertex estimate after ``radius``
+      sweeps (exactly ``anf(...).df``),
+    - ``('nf', t, N(t))`` for t = 0..radius — the estimated neighborhood
+      function, each sum rounded to 4 decimals (sub-ulp engine-order
+      differences collapse), and
+    - ``('d90', -1, d)`` — the q-effective diameter interpolated against
+      N(radius), the same rule as ``effective_diameter`` but at fixed
+      radius so the unrolled DuckDB twin (``anf_effdiam_sql``) sees the
+      identical computation.
+
+    The nf/d rows are driver-side scalars (one float per sweep); the ball
+    rows stay distributed.
+    """
+    spark = g.spark
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = g.edges.where(F.col("src") != F.col("dst")) \
+        .dropDuplicates(["src", "dst"]) \
+        .repartition(shuffle_p, "dst").persist()
+    e.count()
+    state = fm_sketches(g, n_sketches, seed) \
+        .repartition(shuffle_p, "id").localCheckpoint(eager=True)
+    nf = [round(float(_estimate(state).agg(
+        F.sum("ball_est")).first()[0] or 0.0), 4)]
+    for _ in range(radius):
+        state = _sweep(e, state)
+        nf.append(round(float(_estimate(state).agg(
+            F.sum("ball_est")).first()[0] or 0.0), 4))
+    e.unpersist()
+    target = q * nf[radius]
+    d = float(radius)
+    for t in range(len(nf)):
+        if nf[t] >= target:
+            if t == 0 or nf[t] <= nf[t - 1]:
+                d = float(t)
+            else:
+                d = (t - 1) + (target - nf[t - 1]) / (nf[t] - nf[t - 1])
+            break
+    balls = _estimate(state).select(
+        F.lit("ball").alias("kind"), F.col("id"),
+        F.col("ball_est").alias("val"))
+    extra = g.spark.createDataFrame(
+        [("nf", t, v) for t, v in enumerate(nf)]
+        + [("d90", -1, round(d, 4))],
+        "kind string, id bigint, val double")
+    return balls.unionByName(extra)
+
+
+def anf_effdiam_sql(edges_sql: str, verts_sql: str, radius: int,
+                    n_sketches: int = 8, seed: int = 42,
+                    q: float = 0.9) -> str:
+    """DuckDB twin of ``anf_with_effdiam``: per-sweep estimate CTEs, the
+    4-decimal-rounded nf curve, and the interpolated q-effective-diameter
+    row via a lag window — formula mirrored branch-for-branch."""
+    ctes = _twin_ctes(edges_sql, verts_sql, radius, n_sketches, seed)
+    for t in range(radius + 1):
+        ctes.append(f"est{t} AS MATERIALIZED ({_est_sql(f's{t}')})")
+    nf_union = " UNION ALL ".join(
+        f"SELECT {t} AS t, ROUND(SUM(ball_est), 4) AS v FROM est{t}"
+        for t in range(radius + 1))
+    ctes += [
+        f"nf AS MATERIALIZED ({nf_union})",
+        f"tgt AS (SELECT {q!r} * v AS tv FROM nf WHERE t = {radius})",
+        "lagged AS (SELECT t, v, LAG(v) OVER (ORDER BY t) AS prev FROM nf)",
+        "first_t AS (SELECT MIN(t) AS t FROM lagged, tgt WHERE v >= tv)",
+        "drow AS (SELECT CASE WHEN f.t = 0 OR l.v <= l.prev "
+        "THEN CAST(f.t AS DOUBLE) "
+        "ELSE (f.t - 1) + (tgt.tv - l.prev) / (l.v - l.prev) END AS d "
+        "FROM first_t f JOIN lagged l ON l.t = f.t, tgt)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT 'ball' AS kind, id, ball_est AS val FROM est{radius}
+        UNION ALL
+        SELECT 'nf' AS kind, t AS id, v AS val FROM nf
+        UNION ALL
+        SELECT 'd90' AS kind, -1 AS id, ROUND(d, 4) AS val FROM drow"""
     )

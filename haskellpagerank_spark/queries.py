@@ -871,16 +871,17 @@ def _q_graph_summary_nation(spark, sf_dir):
 
 
 def _q_anf_nation(spark, sf_dir):
-    """Approximate neighborhood function at radius 3: per-vertex FM-sketch
-    ball-size estimates (operators/anf.py — deterministic bit arithmetic,
-    identical in every engine)."""
-    from .operators.anf import anf
-    return anf(nation_trade_graph(spark, sf_dir), radius=3).df
+    """Approximate neighborhood function at radius 3 — per-vertex FM-sketch
+    ball-size estimates (operators/anf.py, deterministic bit arithmetic,
+    identical in every engine) — PLUS the estimated N(t) curve rows and the
+    interpolated 0.9-effective-diameter row, tagged (kind, id, val)."""
+    from .operators.anf import anf_with_effdiam
+    return anf_with_effdiam(nation_trade_graph(spark, sf_dir), radius=3)
 
 
 def _anf_sql_twin() -> str:
-    from .operators.anf import anf_sql
-    return anf_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, radius=3)
+    from .operators.anf import anf_effdiam_sql
+    return anf_effdiam_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, radius=3)
 
 
 def _walks_sql_twin() -> str:

@@ -114,3 +114,27 @@ def test_neighborhood_function_oracle_exact_values():
     assert oracle.neighborhood_function(src, dst, n) == [4, 7, 9, 10]
     # q=1.0 -> full (finite) diameter
     assert oracle.effective_diameter_exact(src, dst, n, q=1.0) == 3.0
+
+
+def test_anf_with_effdiam_matches_duckdb_twin(spark):
+    # full gate-surface identity on a fixture: ball rows == anf, nf rows ==
+    # rounded oracle sums, d90 row == the twin's interpolation, bit-for-bit
+    from haskellpagerank_spark.operators.anf import (
+        anf_effdiam_sql, anf_with_effdiam)
+
+    name = "doubleSquare"
+    src, dst, n = oracle.parse_edges(FIXTURE_EDGES[name])
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    got = {(r["kind"], r["id"]): r["val"]
+           for r in anf_with_effdiam(g, radius=3).collect()}
+    edges_sql = " UNION ALL ".join(
+        f"SELECT {s} AS src, {d} AS dst" for s, d in FIXTURE_EDGES[name])
+    verts_sql = " UNION ALL ".join(f"SELECT {v} AS id" for v in range(n))
+    q = anf_effdiam_sql(f"({edges_sql})", f"({verts_sql})", radius=3)
+    want = {(k, i): v for k, i, v in duckdb.sql(q).fetchall()}
+    assert got == want
+    # ball rows are exactly the plain anf output
+    for v, est in oracle.anf(src, dst, n, radius=3).items():
+        assert got[("ball", v)] == est
+    # the d90 row is a sane hop count within the swept radius
+    assert 0.0 <= got[("d90", -1)] <= 3.0
