@@ -538,6 +538,48 @@ def graph_summary(g: Graph) -> DataFrame:
     )
 
 
+def powerlaw_alpha(g: Graph, xmin: int = 1) -> DataFrame:
+    """Continuous-MLE (Hill) estimate of the out-degree power-law exponent:
+    alpha = 1 + n / sum(ln(deg / xmin)) over vertices with deg >= xmin
+    (Clauset-Shalizi-Newman, SIAM Rev. 2009, eq. 3.1 — the standard quick
+    check that a crawl's degree tail is web-shaped, alpha ~ 2.1 for the
+    web graph). One degree aggregation + one scalar aggregation, both
+    map-side combined; no collect. ``alpha`` is NULL when the tail is
+    degenerate (every degree == xmin, so the MLE diverges)."""
+    if xmin < 1:
+        raise ValueError("xmin must be >= 1")
+    e = g.edges.where(F.col("src") != F.col("dst")) \
+        .dropDuplicates(["src", "dst"])
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        deg.where(F.col("deg") >= xmin)
+        .agg(F.count(F.lit(1)).alias("n_tail"),
+             F.sum(F.log(F.col("deg") / F.lit(float(xmin)))).alias("s"))
+        .select(
+            "n_tail",
+            F.round(F.when(F.col("s") > 0,
+                           1.0 + F.col("n_tail") / F.col("s")), 8)
+            .alias("alpha"))
+    )
+
+
+def powerlaw_sql(edges_sql: str, xmin: int = 1) -> str:
+    """DuckDB twin of ``powerlaw_alpha`` — same MLE, same NULL guard,
+    same 8-decimal round."""
+    return f"""
+        SELECT n_tail,
+               ROUND(CASE WHEN s > 0 THEN 1.0 + n_tail / s END, 8) AS alpha
+        FROM (
+          SELECT COUNT(*) AS n_tail,
+                 SUM(LN(deg / CAST({xmin} AS DOUBLE))) AS s
+          FROM (
+            SELECT COUNT(*) AS deg
+            FROM (SELECT DISTINCT src, dst FROM ({edges_sql})
+                  WHERE src <> dst) e
+            GROUP BY src) d
+          WHERE deg >= {xmin})"""
+
+
 # ------------------------------------------------ SCC local tier + dispatch
 
 def _scc_local_arrays(s, d, n):

@@ -654,6 +654,21 @@ def anf(src, dst, n, radius, n_sketches=8, seed=42):
     return out
 
 
+def powerlaw_alpha(src, dst, n, xmin=1):
+    """Hill/CSN continuous MLE over out-degrees >= xmin (matches
+    operators.structure.powerlaw_alpha): (n_tail, alpha or None)."""
+    import math
+
+    deg = {}
+    for s, d in set(zip(src.tolist(), dst.tolist())):
+        if s != d:
+            deg[s] = deg.get(s, 0) + 1
+    tail = [v for v in deg.values() if v >= xmin]
+    s_ = sum(math.log(v / xmin) for v in tail)
+    alpha = round(1.0 + len(tail) / s_, 8) if s_ > 0 else None
+    return len(tail), alpha
+
+
 def neighborhood_function(src, dst, n):
     """Exact N(t) = #{(v, u) : dist(v->u) <= t} including u = v, by BFS
     from every vertex. Returns [N(0), N(1), ..., N(D)] where D is the

@@ -884,6 +884,11 @@ def _anf_sql_twin() -> str:
     return anf_effdiam_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, radius=3)
 
 
+def _powerlaw_sql_twin() -> str:
+    from .operators.structure import powerlaw_sql
+    return powerlaw_sql(NATION_EDGES_SQL)
+
+
 def _walks_sql_twin() -> str:
     from .operators.walks import walks_sql
     return walks_sql(NATION_EDGES_SQL, NATION_VERTS_SQL,
@@ -1314,9 +1319,12 @@ def _q_pair_scores_nation(spark, sf_dir):
 
 def _q_graph_summary_assort_nation(spark, sf_dir):
     """One-row graph dashboard with the degree-assortativity coefficient
-    cross-joined in (both single-row)."""
+    and the power-law degree-exponent MLE cross-joined in (all
+    single-row)."""
+    from .operators.structure import powerlaw_alpha
     return _q_graph_summary_nation(spark, sf_dir).crossJoin(
-        _q_assortativity_nation(spark, sf_dir))
+        _q_assortativity_nation(spark, sf_dir)).crossJoin(
+        powerlaw_alpha(nation_trade_graph(spark, sf_dir)))
 
 
 def _q_coloring_seq_nation(spark, sf_dir):
@@ -2100,7 +2108,8 @@ ORACLES: dict[str, str] = {
     ], "kind"),
     "graph_summary_nation": (
         f"SELECT * FROM ({_SQL['graph_summary_nation']}) s "
-        f"CROSS JOIN ({_SQL['assortativity_nation']}) a"),
+        f"CROSS JOIN ({_SQL['assortativity_nation']}) a "
+        f"CROSS JOIN ({_powerlaw_sql_twin()}) p"),
     "modularity_nation": _SQL["modularity_nation"],
     "anf_nation": _SQL["anf_nation"],
     "wl_nation": _SQL["wl_nation"],

@@ -361,3 +361,47 @@ def test_coreness_auto_picks_local_and_matches(spark):
     rows = {r["id"]: r["coreness"] for r in res.df.collect()}
     got = np.array([rows[i] for i in range(n)])
     np.testing.assert_array_equal(got, oracle.coreness(src, dst, n))
+
+
+# ------------------------------------------------ power-law exponent MLE
+
+@pytest.mark.parametrize("name", sorted(
+    n for n, e in FIXTURE_EDGES.items() if len(e) >= 4))
+def test_powerlaw_alpha_matches_oracle(spark, name):
+    import duckdb
+
+    from haskellpagerank_spark.operators.structure import (
+        powerlaw_alpha, powerlaw_sql)
+
+    src, dst, n = oracle.parse_edges(FIXTURE_EDGES[name])
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    row = powerlaw_alpha(g).first()
+    n_tail, alpha = oracle.powerlaw_alpha(src, dst, n)
+    assert row["n_tail"] == n_tail
+    assert row["alpha"] == alpha
+    # DuckDB twin identity
+    edges_sql = " UNION ALL ".join(
+        f"SELECT {s} AS src, {d} AS dst" for s, d in FIXTURE_EDGES[name])
+    got = duckdb.sql(powerlaw_sql(f"({edges_sql})")).fetchone()
+    assert got == (n_tail, alpha)
+
+
+def test_powerlaw_alpha_exact_hand_case(spark):
+    import math
+
+    from haskellpagerank_spark.operators.structure import powerlaw_alpha
+
+    # out-degrees 1, 2, 4 -> alpha = 1 + 3 / ln(8)
+    pairs = [(0, 10), (1, 10), (1, 11), (2, 10), (2, 11), (2, 12), (2, 13)]
+    row = powerlaw_alpha(from_pairs(spark, pairs)).first()
+    assert row["n_tail"] == 3
+    assert row["alpha"] == round(1.0 + 3 / math.log(8.0), 8)
+
+
+def test_powerlaw_alpha_degenerate_tail_is_null(spark):
+    from haskellpagerank_spark.operators.structure import powerlaw_alpha
+
+    # every out-degree == xmin == 1 -> MLE diverges -> NULL
+    row = powerlaw_alpha(from_pairs(spark, [(0, 1), (1, 2), (2, 0)])).first()
+    assert row["n_tail"] == 3
+    assert row["alpha"] is None
