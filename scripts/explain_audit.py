@@ -455,6 +455,16 @@ def main() -> int:
                   "BroadcastNestedLoopJoin"],
     )
 
+    # 23. power-law exponent MLE: degree agg + scalar agg, both two-phase
+    #     (map-side combined), ln/division in codegen — no Python, no sort
+    from haskellpagerank_spark.operators.structure import powerlaw_alpha
+    audit(
+        "power-law alpha MLE — two-phase degree + scalar aggs, codegen only",
+        powerlaw_alpha(g),
+        must=["HashAggregate", "partial_count", "WholeStageCodegen"],
+        must_not=["BatchEvalPython", "ArrowEvalPython", "Sort"],
+    )
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"
