@@ -538,19 +538,24 @@ def graph_summary(g: Graph) -> DataFrame:
     )
 
 
-def powerlaw_alpha(g: Graph, xmin: int = 1) -> DataFrame:
-    """Continuous-MLE (Hill) estimate of the out-degree power-law exponent:
+def powerlaw_alpha(g: Graph, xmin: int = 1,
+                   direction: str = "out") -> DataFrame:
+    """Continuous-MLE (Hill) estimate of the degree power-law exponent:
     alpha = 1 + n / sum(ln(deg / xmin)) over vertices with deg >= xmin
     (Clauset-Shalizi-Newman, SIAM Rev. 2009, eq. 3.1 — the standard quick
-    check that a crawl's degree tail is web-shaped, alpha ~ 2.1 for the
-    web graph). One degree aggregation + one scalar aggregation, both
-    map-side combined; no collect. ``alpha`` is NULL when the tail is
+    check that a crawl's degree tail is web-shaped; in-degree alpha ~ 2.1
+    for the web graph). One degree aggregation + one scalar aggregation,
+    both map-side combined; no collect. ``alpha`` is NULL when the tail is
     degenerate (every degree == xmin, so the MLE diverges)."""
     if xmin < 1:
         raise ValueError("xmin must be >= 1")
+    if direction not in ("out", "in"):
+        raise ValueError("direction must be 'out' or 'in'")
     e = g.edges.where(F.col("src") != F.col("dst")) \
         .dropDuplicates(["src", "dst"])
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    key = "src" if direction == "out" else "dst"
+    deg = e.groupBy(F.col(key).alias("v")).agg(
+        F.count(F.lit(1)).alias("deg"))
     return (
         deg.where(F.col("deg") >= xmin)
         .agg(F.count(F.lit(1)).alias("n_tail"),
@@ -563,9 +568,11 @@ def powerlaw_alpha(g: Graph, xmin: int = 1) -> DataFrame:
     )
 
 
-def powerlaw_sql(edges_sql: str, xmin: int = 1) -> str:
+def powerlaw_sql(edges_sql: str, xmin: int = 1,
+                 direction: str = "out") -> str:
     """DuckDB twin of ``powerlaw_alpha`` — same MLE, same NULL guard,
     same 8-decimal round."""
+    key = {"out": "src", "in": "dst"}[direction]
     return f"""
         SELECT n_tail,
                ROUND(CASE WHEN s > 0 THEN 1.0 + n_tail / s END, 8) AS alpha
@@ -576,7 +583,7 @@ def powerlaw_sql(edges_sql: str, xmin: int = 1) -> str:
             SELECT COUNT(*) AS deg
             FROM (SELECT DISTINCT src, dst FROM ({edges_sql})
                   WHERE src <> dst) e
-            GROUP BY src) d
+            GROUP BY {key}) d
           WHERE deg >= {xmin})"""
 
 

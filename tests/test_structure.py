@@ -405,3 +405,15 @@ def test_powerlaw_alpha_degenerate_tail_is_null(spark):
     row = powerlaw_alpha(from_pairs(spark, [(0, 1), (1, 2), (2, 0)])).first()
     assert row["n_tail"] == 3
     assert row["alpha"] is None
+
+
+def test_powerlaw_alpha_in_degree_is_out_of_reversed(spark):
+    from haskellpagerank_spark.operators.structure import powerlaw_alpha
+
+    pairs = [(0, 10), (1, 10), (1, 11), (2, 10), (2, 11), (2, 12), (2, 13),
+             (5, 10), (6, 13)]
+    rev = [(d, s) for s, d in pairs]
+    got_in = powerlaw_alpha(from_pairs(spark, pairs), direction="in").first()
+    got_out_rev = powerlaw_alpha(from_pairs(spark, rev)).first()
+    assert (got_in["n_tail"], got_in["alpha"]) == \
+        (got_out_rev["n_tail"], got_out_rev["alpha"])
