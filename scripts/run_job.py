@@ -200,8 +200,10 @@ def main() -> None:
         out = clustering_coefficient(g)
         summary = {"avg_cc": out.agg({"cc": "avg"}).first()[0]}
     elif m == "summary":
-        from haskellpagerank_spark.operators.structure import graph_summary
-        out = graph_summary(g)
+        from haskellpagerank_spark.operators.structure import (
+            graph_summary, powerlaw_alpha)
+        out = graph_summary(g).crossJoin(
+            powerlaw_alpha(g).withColumnRenamed("alpha", "powerlaw_alpha"))
         summary = out.first().asDict()
     elif m == "walks":
         from haskellpagerank_spark.operators.walks import random_walks
