@@ -25,6 +25,7 @@ shiftleft / bit_or are all codegen'd JVM intrinsics; no Python anywhere.
 
 from __future__ import annotations
 
+import decimal
 import time
 
 from pyspark.sql import DataFrame
@@ -36,6 +37,18 @@ from .structure import StructureResult
 
 # FM bias correction (Flajolet-Martin 1985, phi)
 FM_PHI = 0.77351
+
+
+def _round_half_up(x: float, ndigits: int) -> float:
+    """Decimal HALF_UP rounding for driver-side scalars on the gate
+    surface. Python's builtin ``round`` is banker's (half-to-even) while
+    Spark ``F.round`` and DuckDB ``ROUND`` are half-away-from-zero — a sum
+    landing exactly on a 5 at the (ndigits+1)th decimal would make the
+    three engines disagree. ``Decimal(repr(x))`` mirrors Spark's
+    ``BigDecimal.valueOf(double)`` (shortest-repr) conversion."""
+    q = decimal.Decimal(1).scaleb(-ndigits)
+    return float(decimal.Decimal(repr(x)).quantize(
+        q, rounding=decimal.ROUND_HALF_UP))
 
 
 def _md5_63(s):
@@ -158,13 +171,25 @@ class EffectiveDiameterResult:
 
 def effective_diameter(g: Graph, q: float = 0.9, n_sketches: int = 32,
                        seed: int = 42, max_radius: int = 64,
-                       stop_rtol: float = 1e-4) -> EffectiveDiameterResult:
+                       stop_rtol: float = 1e-4,
+                       stop_consecutive: int = 2) -> EffectiveDiameterResult:
     """Interpolated q-effective diameter (Palmer/Gibbons/Faloutsos ANF,
     KDD 2002; HyperBall stopping rule, Boldi-Rosa-Vigna WWW 2011): run
     union sweeps until the neighborhood function stops growing (relative
-    change < ``stop_rtol``), then return the smallest hop count d, linearly
-    interpolated between integer sweeps, at which the average ball covers a
-    q-fraction of its saturation size.
+    change < ``stop_rtol`` for ``stop_consecutive`` sweeps IN A ROW), then
+    return the smallest hop count d, linearly interpolated between integer
+    sweeps, at which the average ball covers a q-fraction of its saturation
+    size.
+
+    ``stop_consecutive`` guards against plateau-then-growth topologies
+    (e.g. two dense clusters bridged by a long path: NF growth is tiny
+    while the frontier crawls the bridge, then jumps when it lands in the
+    far cluster). One flat sweep is not proof of saturation; k in a row is
+    much stronger — though an adversarial bridge longer than k still fools
+    the rule, which is inherent to any growth-based stop (HyperBall has
+    the same caveat). ``saturated=True`` therefore means "NF growth stayed
+    below stop_rtol for stop_consecutive consecutive sweeps", not a
+    certificate that the exact diameter was reached.
 
     THE summary statistic for a web crawl ("90% of reachable pairs are
     within d hops") that is unobtainable by all-pairs BFS at scale: cost is
@@ -176,6 +201,8 @@ def effective_diameter(g: Graph, q: float = 0.9, n_sketches: int = 32,
         raise ValueError("q must be in (0, 1]")
     if max_radius < 1:
         raise ValueError("max_radius must be >= 1")
+    if stop_consecutive < 1:
+        raise ValueError("stop_consecutive must be >= 1")
     spark = g.spark
     shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     e = g.edges.where(F.col("src") != F.col("dst")) \
@@ -186,14 +213,19 @@ def effective_diameter(g: Graph, q: float = 0.9, n_sketches: int = 32,
         .repartition(shuffle_p, "id").localCheckpoint(eager=True)
     nf = [float(_estimate(state).agg(F.sum("ball_est")).first()[0] or 0.0)]
     saturated = False
+    flat_streak = 0
     it = 0
     for it in range(1, max_radius + 1):
         state = _sweep(e, state)
         nf.append(float(_estimate(state).agg(
             F.sum("ball_est")).first()[0] or 0.0))
         if nf[-1] <= nf[-2] * (1.0 + stop_rtol):
-            saturated = True
-            break
+            flat_streak += 1
+            if flat_streak >= stop_consecutive:
+                saturated = True
+                break
+        else:
+            flat_streak = 0
     e.unpersist()
     target = q * nf[-1]
     d = float(len(nf) - 1)
@@ -281,11 +313,11 @@ def anf_with_effdiam(g: Graph, radius: int, n_sketches: int = 8,
     e.count()
     state = fm_sketches(g, n_sketches, seed) \
         .repartition(shuffle_p, "id").localCheckpoint(eager=True)
-    nf = [round(float(_estimate(state).agg(
+    nf = [_round_half_up(float(_estimate(state).agg(
         F.sum("ball_est")).first()[0] or 0.0), 4)]
     for _ in range(radius):
         state = _sweep(e, state)
-        nf.append(round(float(_estimate(state).agg(
+        nf.append(_round_half_up(float(_estimate(state).agg(
             F.sum("ball_est")).first()[0] or 0.0), 4))
     e.unpersist()
     target = q * nf[radius]
@@ -302,7 +334,7 @@ def anf_with_effdiam(g: Graph, radius: int, n_sketches: int = 8,
         F.col("ball_est").alias("val"))
     extra = g.spark.createDataFrame(
         [("nf", t, v) for t, v in enumerate(nf)]
-        + [("d90", -1, round(d, 4))],
+        + [("d90", -1, _round_half_up(d, 4))],
         "kind string, id bigint, val double")
     return balls.unionByName(extra)
 

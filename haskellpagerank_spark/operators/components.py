@@ -66,7 +66,8 @@ def connected_components(
     # frontier: vertices whose label changed last round (all, initially)
     frontier = labels
     ckpt = CheckpointManager(checkpoint_dir, checkpoint_interval)
-    resumed = ckpt.resume(spark) if checkpoint_dir else None
+    resumed = ckpt.resume(spark, required_columns=("id", "component")) \
+        if checkpoint_dir else None
     start_iter = 0
     if resumed is not None:
         labels = resumed[0].repartition(shuffle_p, "id").localCheckpoint(eager=True)
@@ -268,7 +269,8 @@ def label_propagation(
     labels = g.vertices().select("id", F.col("id").alias("label"))
     labels = labels.repartition(shuffle_p, "id").localCheckpoint(eager=True)
     ckpt = CheckpointManager(checkpoint_dir, checkpoint_interval)
-    resumed = ckpt.resume(spark) if checkpoint_dir else None
+    resumed = ckpt.resume(spark, required_columns=("id", "component")) \
+        if checkpoint_dir else None
     start_iter = 0
     if resumed is not None:
         labels = resumed[0].repartition(shuffle_p, "id").localCheckpoint(eager=True)

@@ -162,7 +162,12 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     ckpt = CheckpointManager(checkpoint_dir, checkpoint_interval)
-    resumed = ckpt.resume(spark) if checkpoint_dir else None
+    # the star path checkpoints the CONTRACTED EDGE SET (src, dst), while
+    # the min-label path checkpoints LABELS (id, component) — the
+    # required_columns guard turns a cross-strategy resume into a clear
+    # ValueError instead of an opaque AnalysisException inside a join
+    resumed = (ckpt.resume(spark, required_columns=("src", "dst"))
+               if checkpoint_dir else None)
     start_iter = 0
     if resumed is not None:
         edges = (resumed[0].select("src", "dst")

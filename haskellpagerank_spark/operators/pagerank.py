@@ -147,7 +147,8 @@ def run_pagerank(g: Graph, cfg: PageRankConfig | None = None,
         ranks = base.select("id", F.lit(float(init)).alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
     ckpt = CheckpointManager(cfg.checkpoint_dir, cfg.checkpoint_interval)
-    resumed = ckpt.resume(spark) if cfg.checkpoint_dir else None
+    resumed = ckpt.resume(spark, required_columns=("id", "rank")) \
+        if cfg.checkpoint_dir else None
     start_iter = 0
     if resumed is not None:
         ranks, start_iter = resumed[0].repartition(shuffle_p, "id"), resumed[1]

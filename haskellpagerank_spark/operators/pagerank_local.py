@@ -81,7 +81,7 @@ def run_pagerank_local(g: Graph, cfg: PageRankConfig | None = None,
     ckpt = CheckpointManager(cfg.checkpoint_dir, cfg.checkpoint_interval)
     start_iter = 0
     if cfg.checkpoint_dir:
-        resumed = ckpt.resume(spark)
+        resumed = ckpt.resume(spark, required_columns=("id", "rank"))
         if resumed is not None:
             rp = resumed[0].toPandas()
             x = np.zeros(n)

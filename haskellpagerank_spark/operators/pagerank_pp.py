@@ -119,7 +119,8 @@ def run_pagerank_pp(g: Graph, cfg: PageRankConfig | None = None,
     # the (deterministic) coloring + degree tables on resume
     ckpt = CheckpointManager(cfg.checkpoint_dir, cfg.checkpoint_interval)
     start_sweep = 0
-    resumed = ckpt.resume(spark) if cfg.checkpoint_dir else None
+    resumed = ckpt.resume(spark, required_columns=("id", "rank")) \
+        if cfg.checkpoint_dir else None
     if resumed is not None:
         ranks = (
             base.join(resumed[0].select("id", "rank"), "id")

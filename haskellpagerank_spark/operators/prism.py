@@ -122,7 +122,9 @@ def run_pagerank_incremental(g: Graph, cfg: PageRankConfig | None = None,
     # accumulated sums and frontier intact
     ckpt = CheckpointManager(cfg.checkpoint_dir, cfg.checkpoint_interval)
     start_iter = 0
-    resumed = ckpt.resume(spark) if cfg.checkpoint_dir else None
+    resumed = ckpt.resume(
+        spark, required_columns=("id", "x", "s", "sent", "has_out")) \
+        if cfg.checkpoint_dir else None
     if resumed is not None:
         state = (resumed[0].repartition(shuffle_p, "id")
                  .localCheckpoint(eager=True))

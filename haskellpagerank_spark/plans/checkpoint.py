@@ -93,9 +93,25 @@ class CheckpointManager:
                 return entry
         return None
 
-    def resume(self, spark: SparkSession) -> tuple[DataFrame, int] | None:
-        """(state, iteration) of the last complete snapshot, or None."""
+    def resume(self, spark: SparkSession,
+               required_columns: tuple[str, ...] | None = None,
+               ) -> tuple[DataFrame, int] | None:
+        """(state, iteration) of the last complete snapshot, or None.
+
+        ``required_columns`` guards against resuming a checkpoint written
+        by a DIFFERENT strategy (e.g. min-label CC writes (id, component)
+        state while star CC writes (src, dst) edge state): a mismatch
+        raises a descriptive ValueError here instead of an opaque
+        AnalysisException deep inside the resumed iteration."""
         entry = self.latest_snapshot()
         if entry is None:
             return None
-        return spark.read.parquet(entry["snapshot"]), int(entry["iteration"])
+        df = spark.read.parquet(entry["snapshot"])
+        if required_columns and not set(required_columns) <= set(df.columns):
+            raise ValueError(
+                f"checkpoint snapshot '{entry['snapshot']}' holds columns "
+                f"{sorted(df.columns)} but this operator resumes "
+                f"{sorted(required_columns)} state — the directory was "
+                "probably written by a different strategy; resume it with "
+                "the strategy that wrote it")
+        return df, int(entry["iteration"])

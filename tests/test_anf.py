@@ -138,3 +138,33 @@ def test_anf_with_effdiam_matches_duckdb_twin(spark):
         assert got[("ball", v)] == est
     # the d90 row is a sane hop count within the swept radius
     assert 0.0 <= got[("d90", -1)] <= 3.0
+
+
+def test_round_half_up_modes():
+    """Driver-side gate scalars must round HALF_UP (Spark F.round / DuckDB
+    ROUND), never Python banker's (ADVICE r4): exactly-on-5 boundaries."""
+    from haskellpagerank_spark.operators.anf import _round_half_up
+    # 0.125 and 2.5 are exactly representable midpoints: banker's rounds
+    # them to even, HALF_UP rounds away from zero
+    assert _round_half_up(0.125, 2) == 0.13
+    assert round(0.125, 2) == 0.12                # the banker's divergence
+    assert _round_half_up(2.5, 0) == 3.0
+    assert round(2.5) == 2
+    assert _round_half_up(1.23456, 4) == 1.2346
+    assert _round_half_up(1.23454, 4) == 1.2345
+
+
+def test_effective_diameter_consecutive_saturation(spark):
+    """stop_consecutive requires k flat sweeps in a row before declaring
+    saturation (plateau-then-growth guard, ADVICE r4); k sweeps of margin
+    never change the interpolated d on an already-saturated graph."""
+    from haskellpagerank_spark.operators.anf import effective_diameter
+    pairs = [(i, j) for i in range(8) for j in range(8) if i != j]  # K8
+    g = from_pairs(spark, pairs)
+    r1 = effective_diameter(g, q=0.9, n_sketches=16, stop_consecutive=1)
+    r2 = effective_diameter(g, q=0.9, n_sketches=16, stop_consecutive=2)
+    assert r1.saturated and r2.saturated
+    assert r2.iterations == r1.iterations + 1  # one extra confirming sweep
+    assert r2.effective_diameter == r1.effective_diameter
+    with pytest.raises(ValueError, match="stop_consecutive"):
+        effective_diameter(g, stop_consecutive=0)

@@ -147,3 +147,26 @@ def test_auto_no_fallback_when_converged(spark, monkeypatch):
     got = {r["id"]: r["component"] for r in res.df.collect()}
     assert got == {i: 0 for i in range(40)}
     assert res.metrics[-1].extra["changed"] == 0
+
+
+def test_star_resume_rejects_minlabel_checkpoint(spark, tmp_path):
+    """A star resume pointed at a min-label checkpoint dir ((id, component)
+    state, not (src, dst) edge state) must fail with a descriptive
+    ValueError, not an AnalysisException deep inside a join (ADVICE r4)."""
+    pairs = FIXTURE_EDGES["doubleSquare"]
+    g = from_pairs(spark, pairs)
+    ckdir = str(tmp_path / "minlabel")
+    connected_components(g, checkpoint_dir=ckdir, checkpoint_interval=1)
+    with pytest.raises(ValueError, match="different strategy"):
+        connected_components_star(g, checkpoint_dir=ckdir,
+                                  checkpoint_interval=1)
+
+
+def test_minlabel_resume_rejects_star_checkpoint(spark, tmp_path):
+    """...and the converse direction."""
+    pairs = FIXTURE_EDGES["doubleSquare"]
+    g = from_pairs(spark, pairs)
+    ckdir = str(tmp_path / "star")
+    connected_components_star(g, checkpoint_dir=ckdir, checkpoint_interval=1)
+    with pytest.raises(ValueError, match="different strategy"):
+        connected_components(g, checkpoint_dir=ckdir, checkpoint_interval=1)
