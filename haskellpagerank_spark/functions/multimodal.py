@@ -1,14 +1,17 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Training-data pipelines carry image/audio/video next to text as opaque
-``binary`` columns. The container has no codec libraries, so the *decode*
-step is stubbed (clearly-marked), but everything Spark-side is real and
-tested: schemas, Arrow batch shape, partition-preserving ``mapInPandas``
-kernels, and a deterministic fake feature extractor exercising the exact
-UDF signature a real decoder would use.
+``binary`` columns. PNG payloads are decoded FOR REAL (pure-stdlib zlib
+codec, ``functions/png.py`` — IHDR/IDAT parse, CRC check, all five
+scanline filters); payload formats that genuinely need external codec
+libraries (JPEG, audio, video) fall back to a clearly-marked
+deterministic stub, so the Spark-side plumbing — schemas, Arrow batch
+shape, partition-preserving ``mapInPandas`` kernels — is exercised
+identically either way.
 
-Swap-in contract: replace ``_decode_stub`` with (e.g.) PIL/libav calls; the
-batch iterator signature, output schema, and partitioning are unchanged.
+Swap-in contract: extend ``decode_image``'s format dispatch with (e.g.)
+PIL/libav calls; the batch iterator signature, output schema, and
+partitioning are unchanged.
 """
 
 from __future__ import annotations
@@ -20,6 +23,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .png import PNG_SIG, decode_png, luma
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, width int, height int, "
@@ -40,7 +45,8 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
 
 
 def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
-    """STUB: stands in for image/audio decode (codec libs absent here).
+    """STUB: stands in for non-PNG image/audio decode (codec libs absent
+    here; PNG is handled for real — see ``_features``).
 
     Deterministic fake: a FEATURE_DIM float vector derived from the sha256
     of the payload — stable across partitions/retries, so tests can assert
@@ -50,6 +56,18 @@ def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
     raw = np.frombuffer((dig * ((FEATURE_DIM * 4) // len(dig) + 1))[: FEATURE_DIM * 4],
                         dtype=np.uint32).astype(np.float64)
     return (raw / np.float64(2**32)).astype(np.float32)
+
+
+def _features(payload: bytes, kind: str) -> np.ndarray:
+    """PNG payloads get REAL features: the normalized FEATURE_DIM-bin luma
+    histogram of the actually-decoded pixels. Everything else takes the
+    sha256 stub (format dispatch by magic bytes, so the caller needs no
+    format column)."""
+    if payload[:8] == PNG_SIG:
+        pix = luma(decode_png(payload))
+        hist = np.bincount(pix.reshape(-1) >> 4, minlength=FEATURE_DIM)
+        return (hist / max(pix.size, 1)).astype(np.float32)
+    return _decode_stub(payload, kind)
 
 
 def extract_features(media: DataFrame, payload_col: str = "payload",
@@ -64,7 +82,7 @@ def extract_features(media: DataFrame, payload_col: str = "payload",
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             feats = [
-                _decode_stub(bytes(p), k).tolist()
+                _features(bytes(p), k).tolist()
                 for p, k in zip(b[payload_col], b.get("kind", [""] * len(b)))
             ]
             yield pd.DataFrame({"media_id": b[id_col], "features": feats})
@@ -90,7 +108,7 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000,
 
 
 def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB: stands in for an image decode (codec libs absent here).
+    """STUB: stands in for a non-PNG image decode (codec libs absent here).
 
     Deterministic fake pixel grid: (height, width) uint8, row-major byte i
     = sha256(payload)[i mod 32] — stable across partitions/retries so the
@@ -103,19 +121,32 @@ def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
     return np.frombuffer(raw, dtype=np.uint8).reshape(height, width)
 
 
+def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Grayscale pixel grid for a payload. PNG payloads (magic-byte
+    dispatch) are decoded for real via the stdlib-zlib codec and reduced
+    to integer Rec.601 luma; the grid shape comes from the PNG's own IHDR,
+    not the metadata columns. Non-PNG payloads keep the deterministic
+    sha256 stub at the metadata-declared shape."""
+    if payload[:8] == PNG_SIG:
+        return luma(decode_png(payload))
+    return _decode_image_stub(payload, width, height)
+
+
 def resize_images(media: DataFrame, width: int, height: int,
                   payload_col: str = "payload", id_col: str = "media_id",
                   width_col: str = "width",
                   height_col: str = "height") -> DataFrame:
-    """(media_id, width, height, pixels) — decode (stub) + REAL resize.
+    """(media_id, width, height, pixels) — decode + REAL resize.
 
-    The decode is the clearly-marked stub above (no codecs in-container);
-    the resize itself is the genuine article: vectorized nearest-neighbor
-    index mapping (``grid[floor(y*h0/H)][:, floor(x*w0/W)]`` via numpy
-    fancy indexing), which is byte-for-byte what a production kernel does
-    after a real decode. Arrow-batched mapInPandas; rows with
-    kind != 'image' are filtered out before the kernel if a kind column is
-    present. ``pixels`` is the row-major resized grid as array<int>.
+    PNG payloads are decoded for real (stdlib-zlib codec, luma-reduced);
+    other formats use the clearly-marked stub above (their codecs are not
+    in-container). The resize itself is the genuine article either way:
+    vectorized nearest-neighbor index mapping
+    (``grid[floor(y*h0/H)][:, floor(x*w0/W)]`` via numpy fancy indexing),
+    which is byte-for-byte what a production kernel does after a real
+    decode. Arrow-batched mapInPandas; rows with kind != 'image' are
+    filtered out before the kernel if a kind column is present. ``pixels``
+    is the row-major resized grid as array<int>.
     """
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ty = np.arange(height)
@@ -124,7 +155,8 @@ def resize_images(media: DataFrame, width: int, height: int,
             out = []
             for p, w0, h0 in zip(b[payload_col], b[width_col],
                                  b[height_col]):
-                grid = _decode_image_stub(bytes(p), int(w0), int(h0))
+                grid = decode_image(bytes(p), int(w0), int(h0))
+                h0, w0 = grid.shape  # PNGs dictate their own true shape
                 rows = (ty * int(h0)) // height
                 cols = (tx * int(w0)) // width
                 out.append(grid[rows][:, cols].reshape(-1)
