@@ -132,7 +132,8 @@ def _min_label_fixpoint(edges: DataFrame, labels: DataFrame,
     SCC decomposition built on top of it."""
     frontier = labels
     converged = False
-    for _ in range(max_sweeps):
+    sweeps = 0
+    for sweeps in range(1, max_sweeps + 1):
         msgs = (
             edges.join(frontier.withColumnRenamed("id", "src")
                        .withColumnRenamed("lbl", "mlbl"), "src")
@@ -157,12 +158,21 @@ def _min_label_fixpoint(edges: DataFrame, labels: DataFrame,
         frontier = improved
     if not converged:
         raise RuntimeError(
-            f"min-label propagation did not converge in {max_sweeps} sweeps")
+            f"min-label propagation did not converge in {max_sweeps} sweeps "
+            "— the directed diameter of the active subgraph exceeds the "
+            "sweep budget (each sweep advances labels one hop; directed "
+            "reachability has no star-contraction shortcut, so this cost "
+            "is inherent to the distributed tier). Mitigations: raise "
+            "max_sweeps, or use strongly_connected_components_local / "
+            "_auto (the COST tier handles graphs whose edge list fits "
+            "driver RAM in seconds regardless of diameter; measured "
+            "negative control in BENCH/crossover.json)")
     return labels
 
 
 def strongly_connected_components(g: Graph,
-                                  max_rounds: int = 100) -> StructureResult:
+                                  max_rounds: int = 100,
+                                  max_sweeps: int = 200) -> StructureResult:
     """SCC decomposition of the directed graph: (id, scc) with scc = the
     minimum vertex id in the component.
 
@@ -173,7 +183,23 @@ def strongly_connected_components(g: Graph,
        backward min-label fixpoint B(v) = min{u : v reaches u};
     3. F(v) == B(v) == r  ⇔  v and r reach each other  ⇒  v ∈ SCC(r);
        assign and remove all such v (at least the remaining-minimum vertex
-       always finishes, so the loop terminates).
+       always finishes, so the loop terminates); the assigned set is
+       removed from the active graph so the edge set shrinks every round.
+
+    PRACTICAL BOUND (the budget, not a heuristic): each FW/BW pass costs
+    one full-|E| equi-join per hop of the active core's directed diameter,
+    and ``max_sweeps`` caps that per pass. Unlike undirected CC there is
+    no diameter-independent escape hatch — star contraction relies on
+    min-label symmetry that directed reachability lacks — so a graph whose
+    core diameter exceeds the budget raises a RuntimeError naming the
+    mitigation (COST tier / bigger budget) instead of silently running for
+    O(diameter) days. Crawl-shaped graphs converge in <10 sweeps (their
+    giant SCC is shallow); the adversarial case is a multi-million-vertex
+    directed cycle — measured at 2.8 s/sweep on 2M vertices, i.e. ~65 days
+    to fixpoint distributed, vs seconds in
+    ``strongly_connected_components_local`` (BENCH/crossover.json, row
+    "scc_cycle"). The auto tier's COST envelope exists precisely for
+    that regime.
     """
     spark = g.spark
     shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -235,8 +261,8 @@ def strongly_connected_components(g: Graph,
         )
         # 2. forward/backward min-label over the trimmed core
         base = cur.select("id", F.col("id").alias("lbl"))
-        fwd = _min_label_fixpoint(edges, base)
-        bwd = _min_label_fixpoint(invert(edges), base)
+        fwd = _min_label_fixpoint(edges, base, max_sweeps=max_sweeps)
+        bwd = _min_label_fixpoint(invert(edges), base, max_sweeps=max_sweeps)
         done = (
             fwd.withColumnRenamed("lbl", "f")
             .join(bwd.withColumnRenamed("lbl", "b"), "id")

@@ -27,7 +27,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
-from pyspark.errors import AnalysisException
 
 from ..sources.pages import PAGES_SCHEMA, extract_links
 
@@ -164,13 +163,150 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+def _hadoop_fs(sp: SparkSession, path: str):
+    jvm = sp._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(sp._jsc.hadoopConfiguration()), hpath
+
+
+def _list_names(sp: SparkSession, path: str) -> list[str]:
+    """Child names of a directory via the Hadoop FileSystem API — works on
+    any Spark-supported filesystem, not just local disk."""
+    fs, hpath = _hadoop_fs(sp, path)
+    if not fs.exists(hpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(hpath)]
+
+
+def _path_exists(sp: SparkSession, path: str) -> bool:
+    fs, hpath = _hadoop_fs(sp, path)
+    return bool(fs.exists(hpath))
+
+
+def _delete_path(sp: SparkSession, path: str) -> None:
+    fs, hpath = _hadoop_fs(sp, path)
+    fs.delete(hpath, True)
+
+
+def _store_deltas(sp: SparkSession, state_dir: str) -> list[int]:
+    out = []
+    for name in _list_names(sp, f"{state_dir}/delta"):
+        if name.startswith("batch="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _store_compacted_versions(sp: SparkSession,
+                              state_dir: str) -> list[int]:
+    """COMPLETE compacted segment versions (ascending): a segment counts
+    only once its _SUCCESS marker exists, so a crash mid-compaction leaves
+    the previous segment authoritative."""
+    out = []
+    for name in _list_names(sp, f"{state_dir}/compacted"):
+        if name.startswith("v="):
+            try:
+                v = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if _path_exists(sp, f"{state_dir}/compacted/{name}/_SUCCESS"):
+                out.append(v)
+    return sorted(out)
+
+
+def _read_sig_store(sp: SparkSession, state_dir: str,
+                    batch_id: int) -> DataFrame | None:
+    """Signatures of all strictly-earlier batches: the newest complete
+    compacted segment (its per-row ``batch`` high-watermark column keeps
+    the replay guard exact even after batches are folded together) plus
+    any deltas newer than that segment."""
+    parts = []
+    versions = _store_compacted_versions(sp, state_dir)
+    k = versions[-1] if versions else None
+    if k is not None:
+        parts.append(
+            sp.read.parquet(f"{state_dir}/compacted/v={k}")
+            .where(F.col("batch") < F.lit(batch_id))
+            .select("id", "sig"))
+    for j in _store_deltas(sp, state_dir):
+        if (k is None or j > k) and j < batch_id:
+            parts.append(sp.read.parquet(f"{state_dir}/delta/batch={j}")
+                         .select("id", "sig"))
+    if not parts:
+        return None
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def _maybe_compact_store(sp: SparkSession, state_dir: str,
+                         compact_every: int, compact_files: int) -> None:
+    """Fold accumulated delta partitions into one compacted segment.
+
+    Without this, the store grows one hive partition per micro-batch
+    forever and FILE LISTING becomes the per-batch bottleneck at 10^4-10^5
+    batches. Policy: once >= ``compact_every`` deltas sit above the newest
+    compacted segment, rewrite segment+deltas into ``compacted/v=<W>``
+    (W = the high watermark, i.e. the newest folded batch id) as
+    ``compact_files`` id-clustered sorted files, then delete the folded
+    deltas and older segments. The per-row ``batch`` column inside the
+    segment preserves the strictly-earlier-batch replay guard that the
+    hive partition column used to provide.
+
+    Crash-safe by construction: the new segment only becomes authoritative
+    when its _SUCCESS lands (write is deterministic from immutable inputs,
+    so a replayed compaction rewrites identical content); stale deltas and
+    superseded segments are invisible to the read path the moment the new
+    segment is complete, and any cleanup the crash skipped is retried by
+    the next compaction.
+
+    Layout note: files are clustered/sorted by doc id — band keys are
+    k-per-doc derived values with no single clustering key, and nothing
+    prunes on either layout; the win here is bounded file count. The
+    catalog seam (sources/catalog.Table) is the Iceberg-shaped upgrade
+    path if manifest-tracked state is wanted instead.
+    """
+    deltas = _store_deltas(sp, state_dir)
+    versions = _store_compacted_versions(sp, state_dir)
+    k = versions[-1] if versions else None
+    live = [j for j in deltas if k is None or j > k]
+    if len(live) < compact_every:
+        return
+    new_v = max(live)
+    parts = []
+    if k is not None:
+        parts.append(sp.read.parquet(f"{state_dir}/compacted/v={k}")
+                     .select("id", "sig", "batch"))
+    for j in live:
+        parts.append(sp.read.parquet(f"{state_dir}/delta/batch={j}")
+                     .select("id", "sig", F.lit(j).alias("batch")))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    (df.repartition(compact_files, "id").sortWithinPartitions("id")
+     .write.mode("overwrite").parquet(f"{state_dir}/compacted/v={new_v}"))
+    # cleanup (safe to lose to a crash — self-healing on the next pass):
+    # folded deltas, then every superseded complete segment
+    for j in deltas:
+        if j <= new_v:
+            _delete_path(sp, f"{state_dir}/delta/batch={j}")
+    for v in versions:
+        if v < new_v:
+            _delete_path(sp, f"{state_dir}/compacted/v={v}")
+
+
 def neardup_filter_stream(docs: DataFrame, state_dir: str, out_dir: str,
                           text_col: str = "text", id_col: str = "doc_id",
                           n: int = 3, num_hashes: int = 64, bands: int = 16,
                           threshold: float = 0.8,
                           hash_mode: str = "xxhash64",
                           checkpoint_dir: str | None = None,
-                          available_now: bool = True) -> StreamingQuery:
+                          available_now: bool = True,
+                          compact_every: int = 16,
+                          compact_files: int = 8) -> StreamingQuery:
     """Cross-batch NEAR-dup filtering of a streaming documents source.
 
     ``dedup_doc_stream`` only catches byte-identical re-deliveries; a crawl
@@ -191,16 +327,24 @@ def neardup_filter_stream(docs: DataFrame, state_dir: str, out_dir: str,
     3. verification = ``estimated_jaccard`` on the k-long signatures (the
        unbiased MinHash estimator) — state stays O(k) longs per doc ever
        seen, never shingles or text;
-    4. every batch doc's signature lands in ``state_dir/batch=<id>`` and
-       survivor rows in ``out_dir/batch=<id>`` — both writes are keyed by
-       micro-batch id with mode("overwrite"), so a replayed batch
+    4. every batch doc's signature lands in ``state_dir/delta/batch=<id>``
+       and survivor rows in ``out_dir/batch=<id>`` — both writes are keyed
+       by micro-batch id with mode("overwrite"), so a replayed batch
        overwrites itself (idempotent under foreachBatch's at-least-once
-       contract). The store read filters on the hive ``batch`` partition
-       column to *strictly earlier* batches: on a replay of batch N (crash
-       after the state write but before the checkpoint commit) the batch's
-       own ``batch=N`` signatures are already on disk, and without the
-       filter every replayed doc would band-match itself at estimated
-       Jaccard 1.0 and the whole batch would be dropped as duplicates.
+       contract). The store read (``_read_sig_store``) is restricted to
+       *strictly earlier* batches — via the delta partition ids and, for
+       compacted segments, a per-row ``batch`` high-watermark column: on a
+       replay of batch N (crash after the state write but before the
+       checkpoint commit) the batch's own signatures are already on disk,
+       and without the filter every replayed doc would band-match itself
+       at estimated Jaccard 1.0 and the whole batch would be dropped as
+       duplicates;
+    5. every ``compact_every`` batches the accumulated deltas fold into
+       one ``compact_files``-file compacted segment
+       (``_maybe_compact_store``) so the store's file count — and the
+       per-batch listing cost — stays O(compact_every + compact_files)
+       instead of O(batches seen forever). ``compact_every=None`` disables
+       compaction (the pre-r5 behavior).
     """
     from ..functions.dedup import (band_keys, estimated_jaccard,
                                    minhash_signatures)
@@ -215,18 +359,7 @@ def neardup_filter_stream(docs: DataFrame, state_dir: str, out_dir: str,
             .where(F.col("x.id") < F.col("y.id"))
             .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         )
-        store = None
-        try:
-            store = (sp.read.parquet(state_dir)
-                     .where(F.col("batch") < F.lit(batch_id))
-                     .select("id", "sig"))
-        except AnalysisException as exc:
-            # Only the store-not-yet-created case is expected; corrupt
-            # parquet / permission / IO errors must propagate — silently
-            # skipping the store would let near-dups through.
-            if "PATH_NOT_FOUND" not in str(exc) and \
-                    "Path does not exist" not in str(exc):
-                raise
+        store = _read_sig_store(sp, state_dir, batch_id)
         if store is not None:
             sbk = band_keys(store, num_hashes, bands, hash_mode)
             cand = cand.unionByName(
@@ -251,8 +384,11 @@ def neardup_filter_stream(docs: DataFrame, state_dir: str, out_dir: str,
         survivors.write.mode("overwrite").parquet(
             f"{out_dir}/batch={batch_id}")
         sigs.write.mode("overwrite").parquet(
-            f"{state_dir}/batch={batch_id}")
+            f"{state_dir}/delta/batch={batch_id}")
         sigs.unpersist()
+        if compact_every:
+            _maybe_compact_store(sp, state_dir, compact_every,
+                                 compact_files)
 
     writer = docs.writeStream.foreachBatch(_one_batch)
     if checkpoint_dir:

@@ -417,3 +417,23 @@ def test_powerlaw_alpha_in_degree_is_out_of_reversed(spark):
     got_out_rev = powerlaw_alpha(from_pairs(spark, rev)).first()
     assert (got_in["n_tail"], got_in["alpha"]) == \
         (got_out_rev["n_tail"], got_out_rev["alpha"])
+
+
+def test_scc_sweep_budget_raises_on_high_diameter_core(spark):
+    """The distributed tier's sweep budget (VERDICT r4 #3): a directed
+    cycle is one SCC whose diameter equals its length, trim cannot peel
+    it, and a budget below the diameter must raise the descriptive
+    RuntimeError instead of running O(diameter) sweeps."""
+    from haskellpagerank_spark.operators.structure import (
+        strongly_connected_components,
+        strongly_connected_components_local,
+    )
+    cyc = [(i, (i + 1) % 48) for i in range(48)]
+    g = from_pairs(spark, cyc)
+    with pytest.raises(RuntimeError, match="sweep budget"):
+        strongly_connected_components(g, max_sweeps=4)
+    # the COST tier handles the same graph regardless of diameter
+    # (the distributed success path on small diameters is covered by the
+    # fixture-parity tests above)
+    loc = strongly_connected_components_local(g)
+    assert {r["scc"] for r in loc.df.collect()} == {0}
