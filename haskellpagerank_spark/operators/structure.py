@@ -195,11 +195,12 @@ def strongly_connected_components(g: Graph,
     mitigation (COST tier / bigger budget) instead of silently running for
     O(diameter) days. Crawl-shaped graphs converge in <10 sweeps (their
     giant SCC is shallow); the adversarial case is a multi-million-vertex
-    directed cycle — measured at 2.8 s/sweep on 2M vertices, i.e. ~65 days
-    to fixpoint distributed, vs seconds in
-    ``strongly_connected_components_local`` (BENCH/crossover.json, row
-    "scc_cycle"). The auto tier's COST envelope exists precisely for
-    that regime.
+    directed cycle — measured at 19.2 s/sweep on 2M vertices / 8 cores,
+    i.e. ~890 days to fixpoint distributed, vs 32 s total in
+    ``strongly_connected_components_local`` (whose own min-label kernel is
+    sweep-budgeted with a linear-time Kosaraju fallback, so it is
+    diameter-independent; BENCH/crossover.json, algo "scc" rows). The auto
+    tier's COST envelope exists precisely for that regime.
     """
     spark = g.spark
     shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -615,50 +616,138 @@ def powerlaw_sql(edges_sql: str, xmin: int = 1,
 
 # ------------------------------------------------ SCC local tier + dispatch
 
-def _scc_local_arrays(s, d, n):
-    """Vectorized trim + forward/backward min-label SCC on numpy arrays —
-    the same algorithm as the distributed operator (so the Tarjan test
-    oracle stays independent), one np.minimum.at per sweep."""
+class _SweepBudgetExceeded(Exception):
+    pass
+
+
+def _scc_kosaraju_arrays(s, d, n):
+    """Linear-time iterative Kosaraju on CSR arrays — the local tier's
+    DIAMETER-INDEPENDENT path (and a different algorithm from the
+    iterative-Tarjan test oracle, so parity tests stay meaningful even
+    when this path runs). Pass 1: DFS finish order on G; pass 2: DFS on
+    G^T in reverse finish order, each tree is one SCC labeled by its
+    minimum member id. Python loop constants, but O(V+E) regardless of
+    structure — a 2M-vertex cycle takes seconds here vs 2M vectorized
+    sweeps (O(V*E) total) in the min-label kernel."""
     import numpy as np
 
+    def _csr(a, b):
+        order = np.argsort(a, kind="stable")
+        indices = b[order]
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(indptr, a + 1, 1)
+        np.cumsum(indptr, out=indptr)
+        return indptr, indices
+
+    fptr, fidx = _csr(s, d)
+    visited = np.zeros(n, dtype=bool)
+    cursor = fptr[:-1].copy()
+    finish = np.empty(n, dtype=np.int64)
+    nf = 0
+    for root in range(n):
+        if visited[root]:
+            continue
+        visited[root] = True
+        stack = [root]
+        while stack:
+            v = stack[-1]
+            pushed = False
+            while cursor[v] < fptr[v + 1]:
+                w = fidx[cursor[v]]
+                cursor[v] += 1
+                if not visited[w]:
+                    visited[w] = True
+                    stack.append(w)
+                    pushed = True
+                    break
+            if not pushed:
+                finish[nf] = v
+                nf += 1
+                stack.pop()
+
+    tptr, tidx = _csr(d, s)
     comp = np.full(n, -1, dtype=np.int64)
-    alive = np.ones(n, dtype=bool)
-    while True:
-        live = alive[s] & alive[d]
-        ls, ld = s[live], d[live]
-        # trim fixpoint: no live in-edges or no live out-edges => singleton
-        while True:
-            has_out = np.zeros(n, dtype=bool)
-            has_in = np.zeros(n, dtype=bool)
-            has_out[ls] = True
-            has_in[ld] = True
-            keep = alive & has_out & has_in
-            trimmed = alive & ~keep
-            if not trimmed.any():
-                break
-            comp[trimmed] = np.flatnonzero(trimmed)
-            alive = keep
-            live = alive[ls] & alive[ld]
-            ls, ld = ls[live], ld[live]
-        if not alive.any():
-            break
-        ids = np.arange(n, dtype=np.int64)
-        fwd = np.where(alive, ids, np.iinfo(np.int64).max)
-        while True:
-            prev = fwd.copy()
-            np.minimum.at(fwd, ld, fwd[ls])
-            if np.array_equal(prev, fwd):
-                break
-        bwd = np.where(alive, ids, np.iinfo(np.int64).max)
-        while True:
-            prev = bwd.copy()
-            np.minimum.at(bwd, ls, bwd[ld])
-            if np.array_equal(prev, bwd):
-                break
-        done = alive & (fwd == bwd)
-        comp[done] = fwd[done]
-        alive = alive & ~done
+    for i in range(n - 1, -1, -1):
+        root = finish[i]
+        if comp[root] != -1:
+            continue
+        members = [root]
+        comp[root] = root
+        stack = [root]
+        while stack:
+            v = stack.pop()
+            for j in range(tptr[v], tptr[v + 1]):
+                w = tidx[j]
+                if comp[w] == -1:
+                    comp[w] = root
+                    members.append(w)
+                    stack.append(w)
+        m = min(members)
+        if m != root:
+            for w in members:
+                comp[w] = m
     return comp
+
+
+def _scc_local_arrays(s, d, n, sweep_budget: int = 128):
+    """Vectorized trim + forward/backward min-label SCC on numpy arrays —
+    the same algorithm shape as the distributed operator, one
+    np.minimum.at per sweep. Min-label cost is O(diameter) sweeps of |E|
+    work, so a deep core (the directed-cycle adversary) would turn this
+    into O(V*E): after ``sweep_budget`` total sweeps the kernel restarts
+    as linear-time Kosaraju (``_scc_kosaraju_arrays``) instead. Crawl
+    cores converge in <30 sweeps, so the vectorized fast path keeps its
+    throughput where it wins and the fallback bounds the worst case."""
+    import numpy as np
+
+    sweeps = 0
+    try:
+        comp = np.full(n, -1, dtype=np.int64)
+        alive = np.ones(n, dtype=bool)
+        while True:
+            live = alive[s] & alive[d]
+            ls, ld = s[live], d[live]
+            # trim fixpoint: no live in- or out-edges => singleton
+            while True:
+                has_out = np.zeros(n, dtype=bool)
+                has_in = np.zeros(n, dtype=bool)
+                has_out[ls] = True
+                has_in[ld] = True
+                keep = alive & has_out & has_in
+                trimmed = alive & ~keep
+                if not trimmed.any():
+                    break
+                comp[trimmed] = np.flatnonzero(trimmed)
+                alive = keep
+                live = alive[ls] & alive[ld]
+                ls, ld = ls[live], ld[live]
+            if not alive.any():
+                break
+            ids = np.arange(n, dtype=np.int64)
+            fwd = np.where(alive, ids, np.iinfo(np.int64).max)
+            while True:
+                prev = fwd.copy()
+                np.minimum.at(fwd, ld, fwd[ls])
+                sweeps += 1
+                if sweeps > sweep_budget:
+                    raise _SweepBudgetExceeded
+                if np.array_equal(prev, fwd):
+                    break
+            bwd = np.where(alive, ids, np.iinfo(np.int64).max)
+            while True:
+                prev = bwd.copy()
+                np.minimum.at(bwd, ls, bwd[ld])
+                sweeps += 1
+                if sweeps > sweep_budget:
+                    raise _SweepBudgetExceeded
+                if np.array_equal(prev, bwd):
+                    break
+            done = alive & (fwd == bwd)
+            comp[done] = fwd[done]
+            alive = alive & ~done
+        return comp
+    except _SweepBudgetExceeded:
+        return _scc_kosaraju_arrays(s, d, n)
 
 
 def strongly_connected_components_local(g: Graph) -> StructureResult:

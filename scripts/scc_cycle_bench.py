@@ -70,8 +70,9 @@ def main() -> None:
         "cores": cores, "strategy": "local", "algo": "scc",
         "graph": "cycle", "n_vertices": n, "n_edges": n,
         "wall_s": round(wall_local, 3), "n_sccs": n_sccs,
-        "note": "COST tier on the same graph: diameter-independent "
-                "(iterative Tarjan over the collected edge list)",
+        "note": "COST tier on the same graph: diameter-independent (the "
+                "min-label kernel hits its sweep budget and restarts as "
+                "linear-time iterative Kosaraju)",
     })
     print(json.dumps(rows, indent=1))
 

@@ -437,3 +437,33 @@ def test_scc_sweep_budget_raises_on_high_diameter_core(spark):
     # fixture-parity tests above)
     loc = strongly_connected_components_local(g)
     assert {r["scc"] for r in loc.df.collect()} == {0}
+
+
+def test_scc_local_kernel_diameter_independent():
+    """The local kernel's min-label fast path is O(diameter) sweeps; its
+    sweep budget must reroute deep cores to the linear-time Kosaraju
+    fallback, and both kernels must agree with the Tarjan oracle on a
+    structure that exercises trim + deep cycles + cross-links."""
+    import numpy as np
+    from haskellpagerank_spark import oracle
+    from haskellpagerank_spark.operators.structure import (
+        _scc_kosaraju_arrays, _scc_local_arrays)
+    # two 400-cycles, a bridge between them, and a trimmable tail
+    n = 810
+    a = np.arange(400, dtype=np.int64)
+    s = np.concatenate([a, 400 + a,
+                        np.array([5, 803, 805], dtype=np.int64),
+                        np.array([807], dtype=np.int64)])
+    d = np.concatenate([(a + 1) % 400, 400 + (a + 1) % 400,
+                        np.array([803, 805, 807], dtype=np.int64),
+                        np.array([809], dtype=np.int64)])
+    want = np.array(oracle.strongly_connected_components(s, d, n))
+    np.testing.assert_array_equal(_scc_kosaraju_arrays(s, d, n), want)
+    # budget forces the fallback (each 400-cycle needs ~400 sweeps)
+    np.testing.assert_array_equal(
+        _scc_local_arrays(s, d, n, sweep_budget=32), want)
+    # and the unbudgeted fast path agrees on a shallow graph
+    s2 = np.array([0, 1, 2, 2], dtype=np.int64)
+    d2 = np.array([1, 0, 0, 3], dtype=np.int64)
+    want2 = np.array(oracle.strongly_connected_components(s2, d2, 4))
+    np.testing.assert_array_equal(_scc_local_arrays(s2, d2, 4), want2)
