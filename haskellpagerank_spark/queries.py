@@ -44,15 +44,26 @@ CS_VERTS_SQL = """
     FROM supplier
 """
 
-# nation trade graph: top-N heaviest customer-nation -> supplier-nation lanes
+# nation trade graph: top-N heaviest customer-nation -> supplier-nation lanes.
+# The c_nationkey <> s_nationkey filter must NOT appear in the same SELECT as
+# the customer x supplier join graph: DuckDB's reorderer then treats the
+# inequality as a join predicate and builds a near-cross-product
+# customer x supplier intermediate (~144M rows at sf0.1 — 70s per inline,
+# and the triangles twin inlines this 18x). Pre-aggregating per
+# (customer-nation, suppkey) behind a GROUP BY fence caps the join at
+# 25 x |supplier| rows; SUM of the partial counts == the original COUNT(*).
 NATION_EDGES_SQL = f"""
     SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst FROM (
-        SELECT c.c_nationkey AS a, s.s_nationkey AS b, COUNT(*) AS cnt
-        FROM lineitem l
-        JOIN orders o ON l.l_orderkey = o.o_orderkey
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        WHERE c.c_nationkey <> s.s_nationkey
+        SELECT t.a, s.s_nationkey AS b, SUM(t.cnt_) AS cnt
+        FROM (
+            SELECT c.c_nationkey AS a, l.l_suppkey AS sk, COUNT(*) AS cnt_
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ) t
+        JOIN supplier s ON t.sk = s.s_suppkey
+        WHERE t.a <> s.s_nationkey
         GROUP BY 1, 2
         ORDER BY cnt DESC, a, b
         LIMIT {NATION_TOP_EDGES}
