@@ -64,8 +64,17 @@ def _features(payload: bytes, kind: str) -> np.ndarray:
     sha256 stub (format dispatch by magic bytes, so the caller needs no
     format column)."""
     if payload[:8] == PNG_SIG:
-        pix = luma(decode_png(payload))
-        hist = np.bincount(pix.reshape(-1) >> 4, minlength=FEATURE_DIM)
+        try:
+            pix = luma(decode_png(payload))
+        except Exception:
+            # corrupt/truncated/unsupported-variant PNG: a crawl corpus
+            # always contains some — degrade this row to the deterministic
+            # stub instead of failing the task 4x and killing the job
+            return _decode_stub(payload, kind)
+        # bin width derived from FEATURE_DIM so the vector length is
+        # always exactly FEATURE_DIM (256 must divide evenly)
+        hist = np.bincount(pix.reshape(-1) // (256 // FEATURE_DIM),
+                           minlength=FEATURE_DIM)
         return (hist / max(pix.size, 1)).astype(np.float32)
     return _decode_stub(payload, kind)
 
@@ -128,7 +137,13 @@ def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     not the metadata columns. Non-PNG payloads keep the deterministic
     sha256 stub at the metadata-declared shape."""
     if payload[:8] == PNG_SIG:
-        return luma(decode_png(payload))
+        try:
+            return luma(decode_png(payload))
+        except Exception:
+            # corrupt/truncated/unsupported-variant PNG — degrade to the
+            # stub grid at the metadata-declared shape rather than abort
+            # the whole resize job on one bad crawl payload
+            pass
     return _decode_image_stub(payload, width, height)
 
 

@@ -105,12 +105,16 @@ def decode_png(data: bytes) -> np.ndarray:
     ihdr = None
     palette = None
     idat = bytearray()
+    seen_iend = False
     while pos + 12 <= len(data):
         (length,) = struct.unpack(">I", data[pos:pos + 4])
         ctype = data[pos + 4:pos + 8]
-        body = data[pos + 8:pos + 8 + length]
-        if len(body) != length:
+        if pos + 12 + length > len(data):
+            # covers both a short body and a body that fits exactly but
+            # whose 4-byte CRC trailer is cut off — ValueError either way,
+            # per the docstring contract (not struct.error)
             raise ValueError("truncated PNG chunk")
+        body = data[pos + 8:pos + 8 + length]
         (crc,) = struct.unpack(
             ">I", data[pos + 8 + length:pos + 12 + length])
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
@@ -124,8 +128,13 @@ def decode_png(data: bytes) -> np.ndarray:
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
+            seen_iend = True
             break
         # ancillary chunks (tEXt, gAMA, ...) are skipped
+    if not seen_iend:
+        # also catches a stream cut inside a trailing chunk's 12-byte
+        # frame, which the loop guard would otherwise skip silently
+        raise ValueError("truncated PNG (missing IEND)")
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr

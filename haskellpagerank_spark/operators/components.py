@@ -269,7 +269,7 @@ def label_propagation(
     labels = g.vertices().select("id", F.col("id").alias("label"))
     labels = labels.repartition(shuffle_p, "id").localCheckpoint(eager=True)
     ckpt = CheckpointManager(checkpoint_dir, checkpoint_interval)
-    resumed = ckpt.resume(spark, required_columns=("id", "component")) \
+    resumed = ckpt.resume(spark, required_columns=("id", "label")) \
         if checkpoint_dir else None
     start_iter = 0
     if resumed is not None:

@@ -132,8 +132,7 @@ def _min_label_fixpoint(edges: DataFrame, labels: DataFrame,
     SCC decomposition built on top of it."""
     frontier = labels
     converged = False
-    sweeps = 0
-    for sweeps in range(1, max_sweeps + 1):
+    for _ in range(max_sweeps):
         msgs = (
             edges.join(frontier.withColumnRenamed("id", "src")
                        .withColumnRenamed("lbl", "mlbl"), "src")

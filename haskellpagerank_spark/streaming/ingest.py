@@ -141,9 +141,18 @@ def maintain_ranks_catalog(spark: SparkSession, table, num_vertices: int,
     edges = table.read(spark, snapshot=snap).select("src", "dst")
     g = from_edge_df(edges, num_vertices=num_vertices)
     res = run_pagerank_incremental(g, cfg, warm_ranks=prev_ranks)
-    if base_snapshot is not None and res.metrics:
+    if base_snapshot is not None:
         base_files = {e.path for e in table.files(base_snapshot)}
         delta = [e for e in table.files(snap) if e.path not in base_files]
+        if not res.metrics:
+            # steady-state no-op round: the snapshot delta disturbed no
+            # rank, so the prism loop converged before its first sweep —
+            # lineage still belongs in the result, on a zero-cost record
+            from ..plans.checkpoint import IterationMetrics
+            res.metrics.append(IterationMetrics(
+                iteration=0, l1_residual=0.0, linf_residual=0.0,
+                rows_shuffled=0, wall_s=0.0,
+                extra={"frontier": 0, "strategy": "incremental"}))
         res.metrics[0].extra["delta_files"] = len(delta)
         res.metrics[0].extra["delta_rows"] = sum(e.rows for e in delta)
     return res
@@ -226,7 +235,32 @@ def _delete_path(sp: SparkSession, path: str) -> None:
     fs.delete(hpath, True)
 
 
+def _migrate_legacy_store(sp: SparkSession, state_dir: str) -> None:
+    """One-time layout upgrade: pre-compaction stores kept signatures in
+    ``state_dir/batch=<id>`` directly; the compacting layout reads only
+    ``delta/`` and ``compacted/``, which would silently orphan all prior
+    dedup state on upgrade. Rename any root-level ``batch=*`` partition
+    into ``delta/`` (a pure metadata move — no data rewrite). If the same
+    batch id already exists under ``delta/`` (a replay straddling the
+    upgrade rewrote it there), the new write is authoritative and the
+    legacy copy is dropped."""
+    legacy = [n for n in _list_names(sp, state_dir)
+              if n.startswith("batch=")]
+    if not legacy:
+        return
+    fs, delta_root = _hadoop_fs(sp, f"{state_dir}/delta")
+    fs.mkdirs(delta_root)
+    for name in legacy:
+        _, src = _hadoop_fs(sp, f"{state_dir}/{name}")
+        _, dst = _hadoop_fs(sp, f"{state_dir}/delta/{name}")
+        if fs.exists(dst):
+            fs.delete(src, True)
+        else:
+            fs.rename(src, dst)
+
+
 def _store_deltas(sp: SparkSession, state_dir: str) -> list[int]:
+    _migrate_legacy_store(sp, state_dir)
     out = []
     for name in _list_names(sp, f"{state_dir}/delta"):
         if name.startswith("batch="):
@@ -237,35 +271,51 @@ def _store_deltas(sp: SparkSession, state_dir: str) -> list[int]:
     return sorted(out)
 
 
-def _store_compacted_versions(sp: SparkSession,
-                              state_dir: str) -> list[int]:
-    """COMPLETE compacted segment versions (ascending): a segment counts
-    only once its _SUCCESS marker exists, so a crash mid-compaction leaves
-    the previous segment authoritative."""
-    out = []
+def _store_segments(sp: SparkSession,
+                    state_dir: str) -> list[tuple[int, int, str]]:
+    """COMPLETE compacted segments as (lo, hi, dirname), ascending by hi —
+    a segment counts only once its _SUCCESS marker exists, so a crash
+    mid-compaction leaves the previous segments authoritative. Two dirname
+    forms: ``v=HI`` (legacy single-segment full folds — they covered every
+    batch, so lo=0) and ``v=LO-HI`` (size-tiered segments covering batch
+    ids in [LO, HI]). Segments covered by a newer segment's range are
+    superseded (a crash skipped their cleanup) and are filtered out here;
+    the caller may delete them."""
+    raw = []
     for name in _list_names(sp, f"{state_dir}/compacted"):
-        if name.startswith("v="):
-            try:
-                v = int(name.split("=", 1)[1])
-            except ValueError:
-                continue
-            if _path_exists(sp, f"{state_dir}/compacted/{name}/_SUCCESS"):
-                out.append(v)
-    return sorted(out)
+        if not name.startswith("v="):
+            continue
+        tag = name.split("=", 1)[1]
+        try:
+            lo, hi = ([0] + [int(x) for x in tag.split("-")])[-2:]
+        except ValueError:
+            continue
+        if _path_exists(sp, f"{state_dir}/compacted/{name}/_SUCCESS"):
+            raw.append((lo, hi, name))
+    live = [s for s in raw
+            if not any(o[0] <= s[0] and o[1] >= s[1]
+                       and (o[0], o[1]) != (s[0], s[1])
+                       for o in raw)
+            # identical ranges under two names cannot arise from the fold
+            # protocol, but never let mutual covering hide both: keep the
+            # lexicographically last dirname
+            and s[2] == max(o[2] for o in raw
+                            if (o[0], o[1]) == (s[0], s[1]))]
+    return sorted(live, key=lambda s: s[1])
 
 
 def _read_sig_store(sp: SparkSession, state_dir: str,
                     batch_id: int) -> DataFrame | None:
-    """Signatures of all strictly-earlier batches: the newest complete
-    compacted segment (its per-row ``batch`` high-watermark column keeps
-    the replay guard exact even after batches are folded together) plus
-    any deltas newer than that segment."""
+    """Signatures of all strictly-earlier batches: every live compacted
+    segment (the per-row ``batch`` high-watermark column keeps the replay
+    guard exact even after batches are folded together) plus any deltas
+    newer than the newest segment."""
     parts = []
-    versions = _store_compacted_versions(sp, state_dir)
-    k = versions[-1] if versions else None
-    if k is not None:
+    segments = _store_segments(sp, state_dir)
+    k = segments[-1][1] if segments else None
+    for _, _, name in segments:
         parts.append(
-            sp.read.parquet(f"{state_dir}/compacted/v={k}")
+            sp.read.parquet(f"{state_dir}/compacted/{name}")
             .where(F.col("batch") < F.lit(batch_id))
             .select("id", "sig"))
     for j in _store_deltas(sp, state_dir):
@@ -294,12 +344,24 @@ def _maybe_compact_store(sp: SparkSession, state_dir: str,
     segment preserves the strictly-earlier-batch replay guard that the
     hive partition column used to provide.
 
-    Crash-safe by construction: the new segment only becomes authoritative
+    Size-tiered (LSM-style) so total compaction I/O over the stream's
+    lifetime is O(rows x log batches), not the quadratic every-fold-
+    rewrites-everything of a single-segment scheme: the live deltas always
+    fold into a NEW segment, and existing segments are absorbed into the
+    fold only while the next-newest segment is no larger than everything
+    already being folded (the classic binary-counter merge — each row is
+    rewritten at most log2(batches/compact_every) times). File count
+    stays bounded at O(log(batches) x compact_files + compact_every).
+
+    Crash-safe by construction: a new segment only becomes authoritative
     when its _SUCCESS lands (write is deterministic from immutable inputs,
-    so a replayed compaction rewrites identical content); stale deltas and
-    superseded segments are invisible to the read path the moment the new
-    segment is complete, and any cleanup the crash skipped is retried by
-    the next compaction.
+    so a replayed compaction rewrites identical content). Segment dirnames
+    carry their covered batch range (``v=LO-HI``), so if a crash skips
+    cleanup, absorbed segments are detected as range-covered by the new
+    one — ``_store_segments`` hides them and the next pass deletes them.
+    In the tiny window where a covered segment or folded delta is still
+    visible, double-read signature rows are semantically idempotent: the
+    candidate join dedups pairs and the drop set is distinct.
 
     Layout note: files are clustered/sorted by doc id — band keys are
     k-per-doc derived values with no single clustering key, and nothing
@@ -308,16 +370,32 @@ def _maybe_compact_store(sp: SparkSession, state_dir: str,
     path if manifest-tracked state is wanted instead.
     """
     deltas = _store_deltas(sp, state_dir)
-    versions = _store_compacted_versions(sp, state_dir)
-    k = versions[-1] if versions else None
+    segments = _store_segments(sp, state_dir)
+    k = segments[-1][1] if segments else None
     live = [j for j in deltas if k is None or j > k]
+    stale = [j for j in deltas if k is not None and j <= k]
     if len(live) < compact_every:
+        for j in stale:  # self-heal cleanup a crash skipped
+            _delete_path(sp, f"{state_dir}/delta/batch={j}")
         return
-    new_v = max(live)
-    parts = []
-    if k is not None:
-        parts.append(sp.read.parquet(f"{state_dir}/compacted/v={k}")
-                     .select("id", "sig", "batch"))
+
+    def _dir_bytes(path: str) -> int:
+        fs, hpath = _hadoop_fs(sp, path)
+        return int(fs.getContentSummary(hpath).getLength())
+
+    fold_bytes = sum(_dir_bytes(f"{state_dir}/delta/batch={j}")
+                     for j in live)
+    absorbed = []
+    for seg in reversed(segments):  # newest first — contiguous suffix
+        seg_bytes = _dir_bytes(f"{state_dir}/compacted/{seg[2]}")
+        if seg_bytes > fold_bytes:
+            break
+        absorbed.append(seg)
+        fold_bytes += seg_bytes
+    new_lo = absorbed[-1][0] if absorbed else min(live)
+    new_hi = max(live)
+    parts = [sp.read.parquet(f"{state_dir}/compacted/{name}")
+             .select("id", "sig", "batch") for _, _, name in absorbed]
     for j in live:
         parts.append(sp.read.parquet(f"{state_dir}/delta/batch={j}")
                      .select("id", "sig", F.lit(j).alias("batch")))
@@ -325,15 +403,14 @@ def _maybe_compact_store(sp: SparkSession, state_dir: str,
     for p in parts[1:]:
         df = df.unionByName(p)
     (df.repartition(compact_files, "id").sortWithinPartitions("id")
-     .write.mode("overwrite").parquet(f"{state_dir}/compacted/v={new_v}"))
-    # cleanup (safe to lose to a crash — self-healing on the next pass):
-    # folded deltas, then every superseded complete segment
-    for j in deltas:
-        if j <= new_v:
-            _delete_path(sp, f"{state_dir}/delta/batch={j}")
-    for v in versions:
-        if v < new_v:
-            _delete_path(sp, f"{state_dir}/compacted/v={v}")
+     .write.mode("overwrite")
+     .parquet(f"{state_dir}/compacted/v={new_lo}-{new_hi}"))
+    # cleanup (safe to lose to a crash — self-healing on later passes):
+    # folded + stale deltas, then every absorbed/range-covered segment
+    for j in live + stale:
+        _delete_path(sp, f"{state_dir}/delta/batch={j}")
+    for _, _, name in absorbed:
+        _delete_path(sp, f"{state_dir}/compacted/{name}")
 
 
 def neardup_filter_stream(docs: DataFrame, state_dir: str, out_dir: str,

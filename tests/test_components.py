@@ -92,3 +92,22 @@ def test_cc_checkpoint_resume(spark, tmp_path):
     assert {r["id"]: r["component"] for r in resumed.df.collect()} == want
     # resume skipped already-completed iterations
     assert resumed.iterations >= first.iterations
+
+
+def test_lp_checkpoint_resume(spark, tmp_path):
+    """Regression: label_propagation checkpoints (id, label) rows, and its
+    resume guard must require exactly those columns — an (id, component)
+    guard made the operator unable to resume its own checkpoints (it
+    raised the cross-strategy ValueError on every restart)."""
+    pairs = FIXTURE_EDGES["doubleSquare"] + [(8, 9), (9, 10)]
+    g = from_pairs(spark, pairs)
+    want = {r["id"]: r["label"]
+            for r in label_propagation(g, num_iters=4).df.collect()}
+
+    ckdir = str(tmp_path / "lp")
+    first = label_propagation(g, num_iters=4, checkpoint_dir=ckdir,
+                              checkpoint_interval=1)
+    resumed = label_propagation(g, num_iters=4, checkpoint_dir=ckdir,
+                                checkpoint_interval=1)
+    assert {r["id"]: r["label"] for r in first.df.collect()} == want
+    assert {r["id"]: r["label"] for r in resumed.df.collect()} == want

@@ -141,3 +141,40 @@ def test_extract_features_png_histogram(spark):
     assert feats[0] == pytest.approx(0.5)
     assert feats[15] == pytest.approx(0.5)
     assert sum(feats) == pytest.approx(1.0)
+
+
+def test_truncated_crc_trailer_raises_valueerror():
+    """Regression: a chunk whose body fits exactly but whose 4-byte CRC
+    trailer is cut off must raise the documented ValueError, not leak a
+    struct.error past callers that catch the contract exception."""
+    data, _ = _hand_built_png()
+    # cut the stream 2 bytes into the IEND CRC
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(data[:-2])
+    # and mid-body (the pre-existing case) still raises too
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(data[:-10])
+
+
+def test_corrupt_png_payload_degrades_to_stub_not_job_abort():
+    """Regression: a crawl corpus always contains some truncated or
+    unsupported PNGs; one bad payload must not kill the whole Spark job —
+    the kernels degrade that row to the deterministic sha256 stub."""
+    data, _ = _hand_built_png()
+    bad = data[:-2]                       # truncated CRC
+    flipped = bytearray(data); flipped[40] ^= 0xFF
+    ihdr16 = struct.pack(">IIBBBBB", 3, 2, 16, 0, 0, 0, 0)
+    deep = (PNG_SIG + _chunk(b"IHDR", ihdr16)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 13))
+            + _chunk(b"IEND", b""))
+    for payload in (bad, bytes(flipped), deep):
+        feats = M._features(payload, "image")
+        np.testing.assert_array_equal(
+            feats, M._decode_stub(payload, "image"))
+        grid = M.decode_image(payload, 4, 3)
+        np.testing.assert_array_equal(
+            grid, M._decode_image_stub(payload, 4, 3))
+    # a healthy PNG still takes the real path (histogram sums to 1)
+    healthy_feats = M._features(data, "image")
+    assert abs(float(healthy_feats.sum()) - 1.0) < 1e-6
+    assert len(healthy_feats) == M.FEATURE_DIM

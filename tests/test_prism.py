@@ -141,3 +141,33 @@ def test_maintain_ranks_over_catalog_snapshots(spark, tmp_path):
     assert warm.iterations < cold2.iterations
     assert warm.metrics[0].extra["delta_files"] >= 1
     assert warm.metrics[0].extra["delta_rows"] == len(delta_pairs)
+
+
+def test_maintain_ranks_catalog_noop_round_keeps_lineage(spark, tmp_path):
+    """Regression: the steady-state no-op maintenance round (snapshot delta
+    disturbs no rank — here, duplicate edges of an already-uniform-weight
+    pair set, or simply re-running against the same snapshot) used to skip
+    the documented delta_files/delta_rows lineage because the prism loop
+    converged before its first sweep left any metrics. Lineage must land
+    on a zero-cost metrics record instead."""
+    from haskellpagerank_spark.sources.catalog import Table
+    from haskellpagerank_spark.streaming.ingest import maintain_ranks_catalog
+
+    n = 8
+    pairs = [(i, (i + 1) % n) for i in range(n)]
+    cfg = PageRankConfig(damping=0.85, tol=1e-10, sink_mode="reflect",
+                         max_iters=300)
+    t = Table(str(tmp_path / "noop_tbl"))
+    s1 = t.commit(spark.createDataFrame(pairs, "src long, dst long"))
+    cold = maintain_ranks_catalog(spark, t, n, cfg=cfg, snapshot=s1)
+
+    # same snapshot, converged warm state: nothing to drain
+    warm = maintain_ranks_catalog(spark, t, n, prev_ranks=cold.ranks,
+                                  snapshot=s1, base_snapshot=s1, cfg=cfg)
+    assert warm.metrics, "lineage record present even on a no-op round"
+    assert warm.metrics[0].extra["delta_files"] == 0
+    assert warm.metrics[0].extra["delta_rows"] == 0
+    got = {r["id"]: r["rank"] for r in warm.ranks.collect()}
+    want = {r["id"]: r["rank"] for r in cold.ranks.collect()}
+    for i in range(n):
+        assert abs(got[i] - want[i]) < 1e-12

@@ -271,7 +271,7 @@ def test_neardup_store_compaction_50_batches(spark, tmp_path):
     keeps the strictly-earlier guard exact)."""
     import shutil
     from haskellpagerank_spark.streaming.ingest import (
-        _store_compacted_versions, _store_deltas, neardup_filter_stream)
+        _store_deltas, _store_segments, neardup_filter_stream)
     in_dir, out, state, ck = (str(tmp_path / d)
                               for d in ("c_in", "c_out", "c_state", "ck"))
     os.makedirs(in_dir)
@@ -309,10 +309,14 @@ def test_neardup_store_compaction_50_batches(spark, tmp_path):
     fam, uniq = survivors()
     assert len(fam) == 1         # exactly one of the near-dup family
     assert len(uniq) == n_unique  # every unique doc survived
-    versions = _store_compacted_versions(spark, state)
-    assert len(versions) == 1    # superseded segments cleaned up
+    segments = _store_segments(spark, state)
+    # size-tiered: a handful of disjoint segments, not one per fold and
+    # not the quadratic single-segment rewrite
+    assert 1 <= len(segments) <= 4
+    for (lo_a, hi_a, _), (lo_b, hi_b, _) in zip(segments, segments[1:]):
+        assert hi_a < lo_b   # disjoint, ascending coverage
     deltas = _store_deltas(spark, state)
-    assert all(j > versions[-1] for j in deltas)
+    assert all(j > segments[-1][1] for j in deltas)
     assert len(deltas) < 8       # folded: not one partition per batch
     # full replay over the compacted store: identical survivors (the
     # compacted segment's batch column hides future batches from each
@@ -320,3 +324,33 @@ def test_neardup_store_compaction_50_batches(spark, tmp_path):
     shutil.rmtree(ck)
     drain()
     assert survivors() == (fam, uniq)
+
+
+def test_sig_store_legacy_layout_migration(spark, tmp_path):
+    """Regression: pre-compaction stores wrote signature partitions at
+    state_dir/batch=<id> directly. The compacting layout reads only
+    delta/ and compacted/ — without migration an upgraded deployment
+    silently loses all prior dedup state. The legacy partitions must be
+    moved (metadata-only rename) into delta/ on first listing and then
+    count as strictly-earlier state."""
+    import os as _os
+    from haskellpagerank_spark.streaming.ingest import (_read_sig_store,
+                                                        _store_deltas)
+    state = str(tmp_path / "legacy_state")
+    sig_schema = "id long, sig array<long>"
+    for b in (0, 1):
+        spark.createDataFrame([(100 + b, [1, 2, 3, 4])], sig_schema) \
+            .write.parquet(f"{state}/batch={b}")
+    # a delta/ copy of batch 1 already exists (replay straddled the
+    # upgrade): the delta copy is authoritative, legacy copy dropped
+    spark.createDataFrame([(101, [1, 2, 3, 4])], sig_schema) \
+        .write.parquet(f"{state}/delta/batch=1")
+
+    assert _store_deltas(spark, state) == [0, 1]
+    assert not _os.path.exists(f"{state}/batch=0")
+    assert not _os.path.exists(f"{state}/batch=1")
+    store = _read_sig_store(spark, state, batch_id=2)
+    assert {r.id for r in store.collect()} == {100, 101}
+    # strictly-earlier guard still applies to migrated partitions
+    assert {r.id for r in _read_sig_store(spark, state, 1).collect()} \
+        == {100}
