@@ -63,3 +63,45 @@ def test_dot_sink_refuses_large(spark):
     big = spark.range(20000).selectExpr("id as src", "id + 1 as dst")
     with pytest.raises(ValueError):
         to_dot(big)
+
+
+def test_png_render_sink(spark, tmp_path):
+    """makeImage.sh parity (dot -Tpng) without graphviz: rasterize the
+    colored doubleSquare graph and verify pixels through the engine's own
+    PNG decoder — node centers carry the exact palette RGB of their color,
+    edges leave non-background pixels, the background stays white."""
+    import numpy as np
+    from haskellpagerank_spark.functions.png import decode_png
+    from haskellpagerank_spark.sources.graphviz import (
+        _PALETTE, _PALETTE_RGB, _layout_circle, render_png, write_png)
+
+    g = from_pairs(spark, FIXTURE_EDGES["doubleSquare"])
+    colors = greedy_coloring(g).df
+    data = render_png(g.edges, colors, size=320, node_radius=8)
+    img = decode_png(data)
+    assert img.shape == (320, 320, 3)
+    assert tuple(img[2, 2]) == (255, 255, 255)          # background
+
+    color_of = {r["id"]: r["color"] for r in colors.collect()}
+    pos = _layout_circle(sorted(color_of), 320, 8)
+    for v, (x, y) in pos.items():
+        want = _PALETTE_RGB[_PALETTE[color_of[v] % len(_PALETTE)]]
+        assert tuple(img[y, x]) == want, f"vertex {v}"
+
+    # an edge midpoint between two nodes is painted (gray body or black
+    # direction head), not background
+    (x0, y0), (x1, y1) = pos[0], pos[1]
+    mid = img[(y0 + y1) // 2, (x0 + x1) // 2]
+    assert tuple(mid) in {(96, 96, 96), (0, 0, 0)}
+
+    out = tmp_path / "graph.png"
+    write_png(str(out), g.edges, colors)
+    assert decode_png(out.read_bytes()).shape == (480, 480, 3)
+
+
+def test_png_render_refuses_large(spark):
+    from haskellpagerank_spark.sources import graphviz as GV
+    big = spark.range(GV.MAX_RENDER_VERTICES + 1).selectExpr(
+        "id as src", "id + 1 as dst")
+    with pytest.raises(ValueError, match="refusing"):
+        GV.render_png(big)
