@@ -178,3 +178,49 @@ def test_corrupt_png_payload_degrades_to_stub_not_job_abort():
     healthy_feats = M._features(data, "image")
     assert abs(float(healthy_feats.sum()) - 1.0) < 1e-6
     assert len(healthy_feats) == M.FEATURE_DIM
+
+
+# ---------------------------------------------------------------------------
+# property: encode->decode is the identity for every supported pixel
+# layout x scanline filter (hypothesis drives shapes, content, and filter)
+
+try:
+    from hypothesis import given, settings, strategies as st
+    _HAVE_HYPOTHESIS = True
+except ImportError:          # pragma: no cover - baked into this container
+    _HAVE_HYPOTHESIS = False
+
+
+@pytest.mark.skipif(not _HAVE_HYPOTHESIS, reason="hypothesis not installed")
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1),
+       h=st.integers(1, 12), w=st.integers(1, 12),
+       ch=st.sampled_from([1, 2, 3, 4]),
+       filter_type=st.integers(0, 4))
+def test_png_roundtrip_property(seed, h, w, ch, filter_type):
+    """decode(encode(img, filter)) == img byte-exactly for every color
+    layout (gray, gray+alpha, RGB, RGBA), every filter type, and arbitrary
+    content including the wrap-around arithmetic near 0/255 — the modular
+    (un)filter algebra must be a true inverse, not just close."""
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = decode_png(encode_png(img, filter_type=filter_type))
+    np.testing.assert_array_equal(out, img)
+
+
+@pytest.mark.skipif(not _HAVE_HYPOTHESIS, reason="hypothesis not installed")
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1),
+       h=st.integers(1, 10), w=st.integers(1, 10),
+       cut=st.integers(1, 40))
+def test_png_any_truncation_raises_property(seed, h, w, cut):
+    """Cutting ANY suffix off a valid PNG raises the contract ValueError
+    (never a silent partial decode, never a non-contract exception type) —
+    the crawl-robustness guarantee the multimodal kernels rely on."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    data = encode_png(img)
+    cut = min(cut, len(data) - len(PNG_SIG) - 1)
+    with pytest.raises(ValueError):
+        decode_png(data[:-cut])

@@ -354,3 +354,44 @@ def test_sig_store_legacy_layout_migration(spark, tmp_path):
     # strictly-earlier guard still applies to migrated partitions
     assert {r.id for r in _read_sig_store(spark, state, 1).collect()} \
         == {100}
+
+
+def test_sig_store_compaction_equivalence_randomized(spark, tmp_path):
+    """Property (randomized schedules, deterministic seeds): whatever the
+    interleaving of delta writes and compaction passes — and whatever
+    compact_every / compact_files — _read_sig_store(b) returns EXACTLY the
+    union of batches strictly earlier than b. The LSM tiering, range
+    naming, stale-delta self-healing, and watermark filtering must never
+    lose, duplicate, or leak a signature row."""
+    import random
+    from haskellpagerank_spark.streaming.ingest import (_maybe_compact_store,
+                                                        _read_sig_store)
+
+    sig_schema = "id long, sig array<long>"
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        state = str(tmp_path / f"eq_state_{seed}")
+        n_batches = rng.randint(9, 13)
+        rows_of = {}          # batch -> set of doc ids
+        next_id = 1000 * seed
+        for b in range(n_batches):
+            ids = list(range(next_id, next_id + rng.randint(1, 3)))
+            next_id += len(ids)
+            rows_of[b] = set(ids)
+            spark.createDataFrame([(i, [i, i + 1]) for i in ids],
+                                  sig_schema) \
+                .write.parquet(f"{state}/delta/batch={b}")
+            if rng.random() < 0.4:
+                _maybe_compact_store(spark, state,
+                                     compact_every=rng.randint(2, 4),
+                                     compact_files=rng.randint(1, 2))
+        # one final fold so compacted segments definitely participate
+        _maybe_compact_store(spark, state, compact_every=1,
+                             compact_files=2)
+        for probe in range(n_batches + 1):
+            got = sorted(r.id for r in
+                         (_read_sig_store(spark, state, probe)
+                          or spark.createDataFrame([], sig_schema))
+                         .collect())
+            want = sorted(i for b in range(probe) for i in rows_of[b])
+            assert got == want, (seed, probe)
