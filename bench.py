@@ -295,29 +295,30 @@ def main() -> None:
     _bench("triangles_nation", lambda: _consume(triangle_count(ntg)))
 
     # -- M0 pages pipeline: generate -> extract -> encode -> 5 PR sweeps.
-    #    The extract+encode leg is best-of-2 as well: the first in-session
-    #    run pays JIT + shuffle-file cache warm-up (honest fresh-JVM cost is
-    #    17-18s, noted in BENCH/BASELINE.md); the steady-state cost is what
-    #    the curated record tracks.
+    #    The extract+encode leg gets the criterion warm-up protocol: its
+    #    first in-session execution pays JIT + shuffle-file cache warm-up
+    #    (measured fresh-JVM curve 17.2 -> 4.9/4.0/4.7/6.1s at 32 threads —
+    #    one warm-up reaches steady state; honest cold cost reported
+    #    alongside, noted in BENCH/BASELINE.md); the steady-state cost is
+    #    what the curated record tracks.
     from haskellpagerank_spark.sources.pages import build_graph, generate_pages
+    _pg_prev = []
 
     def _extract():
+        if _pg_prev:
+            _pg_prev.pop().edges.unpersist()
         pages = generate_pages(spark, num_pages=50_000, seed=42, avg_links=8)
         pg_i, _ = build_graph(pages)
         pg_i = pg_i.with_edges(pg_i.edges.persist())
         pg_i.edges.count()
+        _pg_prev.append(pg_i)
         return pg_i
 
-    t0 = time.monotonic()
-    pg = _extract()
-    dt_ex1 = time.monotonic() - t0
-    pg.edges.unpersist()
-    t0 = time.monotonic()
-    pg = _extract()
-    dt_ex2 = time.monotonic() - t0
+    dt_ex, pg, dt_ex1 = _best_of(2, _extract, warmup=1)
     n_page_edges = pg.edges.count()
-    queries["pages_extract_encode"] = round(min(dt_ex1, dt_ex2), 3)
+    queries["pages_extract_encode"] = round(dt_ex, 3)
     runs["pages_extract_encode"] = 2
+    extra["pages_extract_warmup_runs"] = 1
     extra["pages_extract_cold_first_run_s"] = round(dt_ex1, 3)
 
     def _pages_pr():
