@@ -358,10 +358,16 @@ def _maybe_compact_store(sp: SparkSession, state_dir: str,
     so a replayed compaction rewrites identical content). Segment dirnames
     carry their covered batch range (``v=LO-HI``), so if a crash skips
     cleanup, absorbed segments are detected as range-covered by the new
-    one — ``_store_segments`` hides them and the next pass deletes them.
-    In the tiny window where a covered segment or folded delta is still
-    visible, double-read signature rows are semantically idempotent: the
-    candidate join dedups pairs and the drop set is distinct.
+    one — ``_store_segments`` hides them from reads immediately, and EVERY
+    later pass (folding or not) sweeps dead segment dirs: anything under
+    ``compacted/`` that the live listing excludes, i.e. range-covered
+    leftovers and incomplete (_SUCCESS-less) fold attempts. Deleting an
+    incomplete dir is safe under the store's single-writer protocol
+    (foreachBatch serializes micro-batches, so no concurrent compactor
+    can be mid-write). In the tiny window where a covered segment or
+    folded delta is still visible, double-read signature rows are
+    semantically idempotent: the candidate join dedups pairs and the drop
+    set is distinct.
 
     Layout note: files are clustered/sorted by doc id — band keys are
     k-per-doc derived values with no single clustering key, and nothing
@@ -371,6 +377,14 @@ def _maybe_compact_store(sp: SparkSession, state_dir: str,
     """
     deltas = _store_deltas(sp, state_dir)
     segments = _store_segments(sp, state_dir)
+    # self-heal: sweep dead segment dirs a crash left behind — complete
+    # segments whose range a newer segment covers, and incomplete
+    # (_SUCCESS-less) fold attempts (single-writer protocol: nothing can
+    # be mid-write here). Reads already ignore both; this bounds files.
+    live_names = {name for _, _, name in segments}
+    for name in _list_names(sp, f"{state_dir}/compacted"):
+        if name.startswith("v=") and name not in live_names:
+            _delete_path(sp, f"{state_dir}/compacted/{name}")
     k = segments[-1][1] if segments else None
     live = [j for j in deltas if k is None or j > k]
     stale = [j for j in deltas if k is not None and j <= k]

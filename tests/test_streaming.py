@@ -395,3 +395,52 @@ def test_sig_store_compaction_equivalence_randomized(spark, tmp_path):
                          .collect())
             want = sorted(i for b in range(probe) for i in rows_of[b])
             assert got == want, (seed, probe)
+
+
+def test_sig_store_covered_segment_recovery(spark, tmp_path):
+    """Crash-recovery invariants of the segment listing: a segment whose
+    batch range is covered by a newer one (its cleanup was lost to a
+    crash) must be hidden from reads, an incomplete segment (no _SUCCESS)
+    must be invisible, and the next compaction pass must delete both the
+    covered segment and any stale (already-folded) deltas."""
+    import os as _os
+    from haskellpagerank_spark.streaming.ingest import (_maybe_compact_store,
+                                                        _read_sig_store,
+                                                        _store_segments)
+    state = str(tmp_path / "crash_state")
+    sig = "id long, sig array<long>, batch long"
+
+    def seg(name, rows):
+        spark.createDataFrame(rows, sig).write.parquet(
+            f"{state}/compacted/{name}")
+
+    # v=0-3 was absorbed into v=0-5 but the crash skipped its deletion;
+    # the absorbed copy even disagrees (id 99) — reads must not see it
+    seg("v=0-3", [(99, [9, 9], 3)])
+    seg("v=0-5", [(1, [1, 2], 3), (2, [3, 4], 5)])
+    # an incomplete fold (crash before _SUCCESS): must be invisible
+    seg("v=0-9", [(3, [5, 6], 9)])
+    _os.remove(f"{state}/compacted/v=0-9/_SUCCESS")
+    # a stale delta at batch 4 (<= watermark 5, already folded)
+    spark.createDataFrame([(1, [1, 2])], "id long, sig array<long>") \
+        .write.parquet(f"{state}/delta/batch=4")
+
+    assert [(s[0], s[1]) for s in _store_segments(spark, state)] == [(0, 5)]
+    assert {r.id for r in _read_sig_store(spark, state, 100).collect()} \
+        == {1, 2}
+    # watermark guard applies per-row inside the segment
+    assert {r.id for r in _read_sig_store(spark, state, 4).collect()} == {1}
+
+    # ANY later pass self-heals, even a non-folding one: stale delta,
+    # covered segment, and the incomplete fold attempt all swept
+    _maybe_compact_store(spark, state, compact_every=99, compact_files=2)
+    assert not _os.path.exists(f"{state}/delta/batch=4")
+    names = set(_os.listdir(f"{state}/compacted"))
+    assert "v=0-3" not in names and "v=0-9" not in names
+    assert names == {"v=0-5"}
+    # and the store still reads + folds correctly afterwards
+    spark.createDataFrame([(5, [7, 8])], "id long, sig array<long>") \
+        .write.parquet(f"{state}/delta/batch=6")
+    _maybe_compact_store(spark, state, compact_every=1, compact_files=2)
+    assert {r.id for r in _read_sig_store(spark, state, 100).collect()} \
+        == {1, 2, 5}
