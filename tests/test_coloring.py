@@ -136,3 +136,45 @@ def test_color_layout_1d_is_contiguous_permutation(spark):
         start, length = rs[0]["start"], rs[0]["length"]
         assert poss == list(range(start, start + length))
         assert len(rs) == length
+
+
+@pytest.mark.parametrize("seed", [3, 11, 29])
+def test_every_strategy_proper_on_random_graphs(spark, seed):
+    """Randomized invariant across ALL four strategies on G(n,p) graphs:
+    every vertex gets a color >= 1, no edge is monochromatic, and for
+    distance-2 coloring additionally no two vertices sharing a neighbor
+    get the same color — the properties the golden vectors can't probe
+    beyond their fixed topologies."""
+    import random
+    rng = random.Random(seed)
+    n = rng.randint(12, 24)
+    pairs = [(u, v) for u in range(n) for v in range(n)
+             if u != v and rng.random() < 0.18]
+    # keep every vertex present so the colored-count check is exact
+    pairs += [(i, (i + 1) % n) for i in range(n)]
+    g = from_pairs(spark, pairs)
+
+    for strat in (greedy_coloring, speculative_coloring,
+                  lambda gg: jones_plassmann(gg, seed=seed)):
+        res = strat(g)
+        assert validate_coloring(g, res.df) == 0
+        assert res.df.where(F.col("color") < 1).count() == 0
+        assert res.df.count() == g.num_vertices
+
+    res2 = distance2_coloring(g)
+    assert validate_coloring(g, res2.df) == 0
+    # distance-2 property checked independently of the operator's own
+    # machinery: undirected 2-hop pairs must be bichromatic
+    und = g.edges.selectExpr("src", "dst").union(
+        g.edges.selectExpr("dst as src", "src as dst")).distinct()
+    two_hop = (und.alias("a").join(und.alias("b"),
+                                   F.col("a.dst") == F.col("b.src"))
+               .where(F.col("a.src") != F.col("b.dst"))
+               .select(F.col("a.src").alias("u"),
+                       F.col("b.dst").alias("v")))
+    c = res2.df
+    conflicts = (two_hop
+                 .join(c.selectExpr("id as u", "color as cu"), "u")
+                 .join(c.selectExpr("id as v", "color as cv"), "v")
+                 .where(F.col("cu") == F.col("cv")).count())
+    assert conflicts == 0
