@@ -115,3 +115,30 @@ def test_warm_start_same_fixpoint_fewer_sweeps(spark):
     np.testing.assert_allclose(_ranks(warm, g.num_vertices),
                                _ranks(cold, g.num_vertices), atol=1e-9)
     assert warm.iterations < cold.iterations
+
+
+@pytest.mark.parametrize("seed", [5, 17, 41])
+@pytest.mark.parametrize("sink_mode", ["reflect", "redistribute"])
+def test_all_strategies_agree_on_random_graphs(spark, seed, sink_mode):
+    """Randomized three-way strategy parity: join, SpMV, and driver-local
+    must produce identical ranks (1e-12) on seeded G(n,p) digraphs that
+    include sinks, duplicate edges, and a hub — topologies the fixtures
+    only probe one at a time. Redistribute mode must also conserve mass."""
+    import random
+    from haskellpagerank_spark.operators.pagerank_local import (
+        run_pagerank_local)
+    rng = random.Random(seed)
+    n = rng.randint(15, 30)
+    pairs = [(u, v) for u in range(n) for v in range(n)
+             if u != v and rng.random() < 0.12]
+    pairs += [(0, v) for v in range(1, n, 3)]          # hub
+    pairs += rng.sample(pairs, k=max(1, len(pairs) // 8))  # duplicates
+    g = from_pairs(spark, pairs)
+    cfg = PageRankConfig(damping=0.85, num_iters=8, sink_mode=sink_mode)
+    a = _ranks(run_pagerank(g, cfg), g.num_vertices)
+    b = _ranks(run_pagerank_spmv(g, cfg), g.num_vertices)
+    c = _ranks(run_pagerank_local(g, cfg), g.num_vertices)
+    np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-16)
+    np.testing.assert_allclose(c, a, rtol=1e-12, atol=1e-16)
+    if sink_mode == "redistribute":
+        assert abs(a.sum() - 1.0) < 1e-9
