@@ -348,3 +348,77 @@ def test_delete_on_partitioned_evolved_table(spark, tmp_path):
     assert cur.count() == 2 * ev.count() - 2 * 25
     assert cur.join(victims, ["event_id", "event_type"],
                     "left_semi").count() == 0
+
+
+@pytest.mark.parametrize("seed", [13, 37])
+def test_randomized_op_sequence_model_check(spark, tmp_path, seed):
+    """Model-based property test: a random sequence of append / overwrite /
+    equality-delete / compact / add-column ops, with a Python-side model of
+    the expected rows AT EVERY SNAPSHOT. At the end, every historical
+    snapshot must read back exactly its model — i.e. snapshots are
+    immutable under all later operations, deletes respect sequence
+    numbers, compaction preserves contents, and evolution backfills
+    nulls — under interleavings the hand-written tests don't enumerate."""
+    import random
+    rng = random.Random(seed)
+    t = Table(str(tmp_path / f"rand_{seed}"))
+    evolved = False
+    next_k = 0
+    current: list[tuple] = []      # model of the live table contents
+    model: dict[int, list[tuple]] = {}   # snapshot -> expected rows
+
+    def _mk_rows(n):
+        nonlocal next_k
+        rows = []
+        for _ in range(n):
+            if evolved:
+                rows.append((next_k, rng.randrange(100), rng.randrange(9)))
+            else:
+                rows.append((next_k, rng.randrange(100)))
+            next_k += 1
+        return rows
+
+    def _df(rows):
+        schema = ("k long, v long, w long" if evolved
+                  else "k long, v long")
+        return spark.createDataFrame(rows, schema)
+
+    for step in range(12):
+        op = rng.choice(["append", "append", "append", "overwrite",
+                         "delete", "compact", "evolve"])
+        if op == "append":
+            rows = _mk_rows(rng.randint(1, 4))
+            snap = t.commit(_df(rows))
+            current = current + rows
+        elif op == "overwrite":
+            rows = _mk_rows(rng.randint(1, 3))
+            snap = t.commit(_df(rows), mode="overwrite")
+            current = list(rows)
+        elif op == "delete":
+            if not current:
+                continue
+            ks = sorted({r[0] for r in rng.sample(
+                current, k=min(len(current), rng.randint(1, 3)))})
+            snap = t.delete(
+                spark.createDataFrame([(k,) for k in ks], "k long"), ["k"])
+            current = [r for r in current if r[0] not in ks]
+        elif op == "compact":
+            if t.current_version() < 1:
+                continue       # compacting an empty table raises by design
+            snap = t.compact(spark, target_files=2)
+        else:  # evolve (once)
+            if evolved:
+                continue
+            snap = t.add_columns([("w", "long")])
+            evolved = True
+            # pre-evolution rows read back with w = null
+            current = [(r[0], r[1], None) for r in current]
+        model[snap] = list(current)
+
+    def _key(r):
+        return tuple((x is None, x) for x in r)
+
+    for snap, want in model.items():
+        got = [tuple(r) for r in t.read(spark, snapshot=snap).collect()]
+        assert sorted(got, key=_key) == sorted(want, key=_key), \
+            f"seed {seed}: snapshot {snap} diverged from model"
