@@ -467,3 +467,42 @@ def test_scc_local_kernel_diameter_independent():
     d2 = np.array([1, 0, 0, 3], dtype=np.int64)
     want2 = np.array(oracle.strongly_connected_components(s2, d2, 4))
     np.testing.assert_array_equal(_scc_local_arrays(s2, d2, 4), want2)
+
+
+@pytest.mark.parametrize("seed", [9, 31])
+def test_cross_operator_invariants_random_digraphs(spark, seed):
+    """Randomized cross-operator invariants the per-operator oracles can't
+    see: (a) SCC labels REFINE undirected-CC labels (strong connectivity
+    implies weak), (b) bowtie assigns every vertex exactly one class and
+    its CORE is exactly the largest SCC, (c) every class present is from
+    the closed vocabulary."""
+    import random
+    from collections import Counter
+    from haskellpagerank_spark.operators.components import (
+        connected_components)
+    from haskellpagerank_spark.operators.graph import from_pairs
+    rng = random.Random(seed)
+    n = rng.randint(18, 32)
+    pairs = [(u, v) for u in range(n) for v in range(n)
+             if u != v and rng.random() < 0.08]
+    pairs += [(i, (i + 1) % 6) for i in range(6)]      # guarantee a cycle
+    g = from_pairs(spark, pairs)
+
+    scc = {r["id"]: r["scc"]
+           for r in strongly_connected_components(g).df.collect()}
+    cc = {r["id"]: r["component"]
+          for r in connected_components(g).df.collect()}
+    assert set(scc) == set(cc) == set(range(g.num_vertices))
+    # (a) same SCC -> same CC
+    scc_to_cc = {}
+    for v in scc:
+        prev = scc_to_cc.setdefault(scc[v], cc[v])
+        assert prev == cc[v], f"SCC {scc[v]} spans two weak components"
+
+    bt = {r["id"]: r["component"] for r in bowtie(g).df.collect()}
+    assert set(bt) == set(range(g.num_vertices))          # (b) total map
+    assert set(bt.values()) <= {"CORE", "IN", "OUT", "TENDRIL",
+                                "TUBE", "OTHER"}           # (c)
+    core = {v for v, c in bt.items() if c == "CORE"}
+    largest_scc = max(Counter(scc.values()).items(), key=lambda kv: kv[1])
+    assert core == {v for v in scc if scc[v] == largest_scc[0]}
