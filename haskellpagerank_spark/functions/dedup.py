@@ -134,18 +134,26 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     sh = docs.select(F.col(id_col).alias("id"),
                      F.explode(word_shingles(text_col, n)).alias("s"))
     if hash_mode == "md5":
-        # double hashing (Kirsch–Mitzenmacher): two md5-derived values per
-        # shingle, hash_i = m1 + i * m2lo — k affine combinations instead
-        # of k md5 evaluations (m2lo < 2^30, i < k, m1 < 2^60: no overflow,
-        # so the arithmetic is bit-identical in DuckDB)
+        # k multiply-mod-prime permutations of one md5-derived value:
+        # hash_i(s) = (A_i * x + B_i) mod P with x = md5_60bit(s) mod P,
+        # P = 2^31 - 1, A_i in [1, P-1], B_i in [0, P-1] derived from i.
+        # A_i, x < 2^31 keeps every product < 2^62 — bit-identical signed
+        # 64-bit arithmetic in Spark and DuckDB. An earlier Kirsch-
+        # Mitzenmacher form (m1 + i*m2 with m2 < 2^30, no modulus) was
+        # measured BIASED for min-wise use: i*m2 < 2^36 never overcomes
+        # m1's 2^60 spread, so all k functions picked the same argmin
+        # shingle and the estimate collapsed to 0/1
+        # (tests/test_functions.py::test_minhash_estimate_tracks_true_jaccard).
+        P = (1 << 31) - 1
         sh = sh.select(
-            "id",
-            _hash64(F.col("s"), None, "md5").alias("_m1"),
-            (_hash64(F.concat(F.col("s"), F.lit("\x1e")), None, "md5")
-             % F.lit(1 << 30)).alias("_m2"),
-        )
-        mins = [F.min(F.col("_m1") + F.lit(i) * F.col("_m2")).alias(f"_m{i}")
-                for i in range(num_hashes)]
+            "id", (_hash64(F.col("s"), None, "md5") % F.lit(P)).alias("_x"))
+        mins = []
+        for i in range(num_hashes):
+            a = ((i * 1103515245 + 12345) % (P - 1)) + 1
+            b = (i * 40503 + 17) % P
+            mins.append(
+                F.min((F.lit(a) * F.col("_x") + F.lit(b)) % F.lit(P))
+                .alias(f"_m{i}"))
     else:
         mins = [F.min(_hash64(F.col("s"), i, hash_mode)).alias(f"_m{i}")
                 for i in range(num_hashes)]

@@ -274,11 +274,15 @@ def minhash_lsh_sql(shingles_sql: str, num_hashes: int, bands: int,
     return f"""
 WITH base AS MATERIALIZED ({shingles_sql}),
 ex AS MATERIALIZED (
-    SELECT id, {_md5_60bit('s')} AS m1,
-           {_md5_60bit("s || chr(30)")} % {1 << 30} AS m2
+    SELECT id, {_md5_60bit('s')} % 2147483647 AS x
     FROM (SELECT id, unnest(sh) AS s FROM base)),
 mh AS MATERIALIZED (
-    SELECT id, i, MIN(m1 + i * m2) AS m
+    -- multiply-mod-prime permutations, mirrored from
+    -- functions/dedup.py minhash_signatures md5 mode:
+    -- A_i = ((i*1103515245 + 12345) % (P-1)) + 1, B_i = (i*40503+17) % P
+    SELECT id, i,
+           MIN(((((i * 1103515245 + 12345) % 2147483646) + 1) * x
+                + (i * 40503 + 17) % 2147483647) % 2147483647) AS m
     FROM ex CROSS JOIN (SELECT unnest(range({num_hashes})) AS i)
     GROUP BY 1, 2),
 sig AS MATERIALIZED (

@@ -348,3 +348,36 @@ def test_resize_images_identity_and_mapping(spark):
     cols = (np.arange(4) * 10) // 4
     assert out[2].pixels == g2[rows][:, cols].reshape(-1).tolist()
     assert (out[2].width, out[2].height) == (4, 2)
+
+
+@pytest.mark.parametrize("hash_mode", ["xxhash64", "md5"])
+def test_minhash_estimate_tracks_true_jaccard(spark, hash_mode):
+    """Statistical property of the signature itself (the quantity the
+    streaming near-dup filter trusts): for documents with engineered
+    shingle overlap, the signature-agreement fraction must sit within
+    4*sqrt(J(1-J)/k) of the true shingle Jaccard — per-hash agreement is
+    Bernoulli(J) for a min-wise family, so a violation means the hash
+    family is biased, not just unlucky."""
+    k = 64
+    vocab = [f"tok{i:03d}" for i in range(60)]
+    # doc 0 fixed; docs 1..4 share a controlled prefix of its vocabulary
+    def text(words):
+        return " ".join(words)
+    rows = [(0, text(vocab[:40]))]
+    for i, keep in enumerate((35, 25, 15, 5), start=1):
+        rows.append((i, text(vocab[:keep] + vocab[40:40 + (40 - keep)])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["id"]: np.array(r["sig"]) for r in D.minhash_signatures(
+        docs, n=3, num_hashes=k, hash_mode=hash_mode).collect()}
+
+    def shingles(words, n=3):
+        return {" ".join(words[i:i + n]) for i in range(len(words) - n + 1)}
+
+    base = shingles(rows[0][1].split())
+    for i in range(1, 5):
+        other = shingles(rows[i][1].split())
+        true_j = len(base & other) / len(base | other)
+        est = float((sigs[0] == sigs[i]).mean())
+        bound = 4.0 * np.sqrt(max(true_j * (1 - true_j), 0.01) / k)
+        assert abs(est - true_j) <= bound, \
+            (hash_mode, i, true_j, est, bound)
