@@ -152,6 +152,76 @@ def pagerank_pp(src, dst, n, colors, damping=0.15, eps=1e-4, init=1.0,
                                  max_iters=max_iters, schedule=schedule)
 
 
+def block_starts(n: int, num_blocks: int) -> list[int]:
+    """repa even-chunk boundaries (``nstart``, ArrayUtils.hs:7-17): with
+    n = q*B + r, the first r chunks get q+1 vertices and the rest get q.
+    Returns B+1 boundary offsets; chunk c is [starts[c], starts[c+1])."""
+    q, r = divmod(n, num_blocks)
+    return [c * (q + 1) if c < r else c * q + r
+            for c in range(num_blocks + 1)]
+
+
+def pagerank_block_gs(src, dst, n, num_blocks, damping=0.15, eps=1e-4,
+                      init=1.0, num_iters=0, max_iters=100000):
+    """Deterministic BSP idealization of the reference's chunk-parallel
+    Gauss–Seidel ("pagerank" above minimumParallelizableWorkload,
+    PageRank.hs:75-82 + InternalPageRank.hs:26-27).
+
+    The reference forks the repa thread gang over contiguous id chunks
+    (``nstart`` boundaries) and each thread sweeps its chunk in-place in
+    ascending id order over the SHARED rank array — cross-chunk reads see
+    whatever mix of old/new values thread timing produces. This oracle
+    fixes the one reproducible member of that schedule family: in-chunk
+    reads are in-place (Gauss–Seidel), cross-chunk reads always see the
+    sweep-start value (Jacobi across chunks). ``num_blocks=1`` is
+    bit-identical to :func:`pagerank_gauss_seidel` (the reference's own
+    sequential regime below 7000 vertices, and all of "pagerankND" whose
+    threshold is hardcoded to 9e6 — PageRankNonDet.hs:66).
+
+    Like every variant in the family it converges to the same unique
+    fixpoint x* = dconst + d·Aᵀx*; the block schedule only changes the
+    path (and, like the reference, intermediate iterates)."""
+    outdeg = out_degrees(src, n)
+    n_nonsink = int((outdeg > 0).sum())
+    dconst = (1.0 - damping) / n_nonsink if n_nonsink else 0.0
+    order = np.argsort(dst, kind="stable")
+    in_src, in_dst = src[order], dst[order]
+    starts = np.searchsorted(in_dst, np.arange(n))
+    ends = np.searchsorted(in_dst, np.arange(n), side="right")
+    bounds = block_starts(n, num_blocks)
+    x = np.full(n, float(init))
+
+    def sweep() -> bool:
+        above = False
+        x0 = x.copy()
+        for b in range(num_blocks):
+            lo, hi = bounds[b], bounds[b + 1]
+            for v in range(lo, hi):
+                old = x[v]
+                if outdeg[v] == 0:
+                    x[v] = 0.0
+                else:
+                    nbrs = in_src[starts[v]:ends[v]]
+                    # in-chunk: current (possibly updated this sweep);
+                    # cross-chunk: sweep-start snapshot
+                    vals = np.where((nbrs >= lo) & (nbrs < hi),
+                                    x[nbrs], x0[nbrs])
+                    x[v] = dconst + damping * float(
+                        np.sum(vals / outdeg[nbrs]))
+                if abs(old - x[v]) > eps:
+                    above = True
+        return above
+
+    if num_iters > 0:
+        for _ in range(num_iters):
+            sweep()
+        return x
+    for _ in range(max_iters):
+        if not sweep():
+            return x
+    raise RuntimeError("pagerank_block_gs did not converge")
+
+
 def pagerank_redistribute(src, dst, n, damping=0.85, eps=1e-6, init=None,
                           num_iters=0, max_iters=100000):
     """Web-scale-mode oracle: standard dangling-mass redistribution.
