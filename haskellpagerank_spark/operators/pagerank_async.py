@@ -73,7 +73,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.checkpoint import CheckpointManager, IterationMetrics
-from .graph import Graph, amend_sinks, out_degrees
+from .graph import Graph, amend_sinks
 from .pagerank import PageRankConfig, PageRankResult, weighted_edges
 
 #: the reference's sequential/parallel crossover (InternalPageRank.hs:26-27)
@@ -183,29 +183,41 @@ def run_pagerank_async(g: Graph, cfg: PageRankConfig | None = None,
 
     work = amend_sinks(g) if cfg.sink_mode == "reflect" else g
 
-    # static split: chunk boundaries depend only on (n, num_blocks)
+    # static split: chunk boundaries depend only on (n, num_blocks).
+    # ``ew`` is persisted for the duration of the setup so the upstream
+    # edge lineage (which may be an arbitrary join pipeline) is scanned
+    # exactly ONCE — cross, internal, and the vertex base all derive from
+    # the cached split input, then it is dropped. Block-keyed exchanges
+    # cap their partition count at num_blocks (more partitions than
+    # distinct keys is pure task overhead at any scale).
     ew = weighted_edges(work).select(
         "src", "dst", "w",
         block_of("src", n, num_blocks).alias("sblock"),
         block_of("dst", n, num_blocks).alias("dblock"),
-    )
+    ).persist()
+    block_p = max(1, min(shuffle_p, num_blocks))
     cross = (ew.where(F.col("sblock") != F.col("dblock"))
              .select("src", "dst", "w")
              .repartition(shuffle_p, "src").persist())
     internal = (ew.where(F.col("sblock") == F.col("dblock"))
                 .select(F.col("dblock").alias("block"), "src", "dst", "w")
-                .repartition(shuffle_p, "block").persist())
+                .repartition(block_p, "block").persist())
     n_cross = cross.count()
     n_internal = internal.count()
 
+    # has_out from the cached split input, not a fresh out_degrees scan
+    # of the raw edge multiset: outdeg(v) > 0  <=>  v appears as a src
     base = (
-        out_degrees(work)
-        .select("id", (F.col("deg") > 0).alias("has_out"),
+        g.vertices()
+        .join(ew.select(F.col("src").alias("id")).distinct()
+              .withColumn("has_out", F.lit(True)), "id", "left")
+        .select("id", F.coalesce("has_out", F.lit(False)).alias("has_out"),
                 block_of("id", n, num_blocks).alias("block"))
         .repartition(shuffle_p, "id")
         .persist()
     )
     n_nonsink = base.where("has_out").count()
+    ew.unpersist()
     d = cfg.damping
     dconst = (1.0 - d) / n_nonsink if n_nonsink else 0.0
     init = cfg.init_value if cfg.init_value is not None else 1.0 / n

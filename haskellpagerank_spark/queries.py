@@ -220,6 +220,103 @@ def pagerank_reflect_sql(edges_sql: str, verts_sql: str, iters: int,
             + f"\nSELECT id, ROUND(rank, {round_to}) AS rank FROM r{iters}")
 
 
+def pagerank_gs_sql(edges_sql: str, verts_sql: str, sweeps: int,
+                    num_blocks: int = 1, damping: float = 0.15,
+                    round_to: int = 8) -> str:
+    """Block Gauss–Seidel twin of ``operators.pagerank_async`` — the
+    reference's async family (PageRank.hs:72-82) as ONE recursive CTE.
+
+    Unrolling GS per-CTE like :func:`pagerank_reflect_sql` is impossible
+    (each vertex update reads the updates before it — |V|·sweeps CTEs), so
+    the whole rank vector rides a single recursive CTE as a LIST<DOUBLE>
+    column and each recursion step replays one vertex update of the
+    reference's in-place ascending-id sweep (``vertexLoop``): step t
+    updates vertex v = t mod |V|; in-chunk reads (``nstart`` boundaries,
+    ArrayUtils.hs:7-17) see the current vector ``x``; cross-chunk reads
+    see the sweep-start snapshot ``x0`` — the BSP schedule of
+    ``oracle.pagerank_block_gs``; ``num_blocks=1`` is the reference's
+    deterministic sequential regime (and all of "pagerankND"). Graph
+    semantics identical to :func:`pagerank_reflect_sql`: amendSinks
+    reflection, dconst = (1-d)/#non-sinks, isolated pinned 0, init 1/|V|.
+    Requires the dense-id vertex contract and num_blocks <= |V|."""
+    d = f"CAST({damping} AS DOUBLE)"
+    n = "(SELECT n FROM nv)"
+    # nstart boundaries (oracle.block_starts): q, r = divmod(n, B);
+    # block(v) = v < r*(q+1) ? v // (q+1) : (v - r) // q
+    b = num_blocks
+    blk_expr = (
+        f"CASE WHEN id < ({n} % {b}) * (({n} // {b}) + 1) "
+        f"THEN id // (({n} // {b}) + 1) "
+        f"ELSE (id - ({n} % {b})) // ({n} // {b}) END"
+    )
+    # sweep-start snapshot: at the first step of a sweep (t mod n = 0) the
+    # snapshot IS the current vector (taken before updating vertex 0).
+    # p.first is precomputed in prog — DuckDB forbids subqueries in lambdas.
+    snap = "CASE WHEN p.first THEN s.x ELSE s.x0 END"
+    gather = (
+        "COALESCE(list_sum(list_transform(range(1, len(p.srcs) + 1), "
+        "i -> p.ws[i] * (CASE WHEN p.same[i] THEN s.x ELSE " + snap + " END)"
+        "[CAST(p.srcs[i] + 1 AS INTEGER)])), CAST(0.0 AS DOUBLE))"
+    )
+    newv = (
+        "CASE WHEN NOT p.has_out THEN CAST(0.0 AS DOUBLE) "
+        f"ELSE (CAST(1.0 AS DOUBLE) - {d}) / (SELECT n FROM ns) "
+        f"+ {d} * {gather} END"
+    )
+    return f"""
+WITH RECURSIVE
+verts AS MATERIALIZED (SELECT id FROM ({verts_sql}) _v),
+e0 AS MATERIALIZED (SELECT src, dst FROM ({edges_sql}) _e WHERE src <> dst),
+snk AS MATERIALIZED (SELECT id FROM verts
+                     WHERE id NOT IN (SELECT src FROM e0)),
+refl AS MATERIALIZED (SELECT e.dst AS src, e.src AS dst
+                      FROM e0 e JOIN snk ON e.dst = snk.id),
+ae AS MATERIALIZED (SELECT * FROM e0 UNION ALL SELECT * FROM refl),
+e AS MATERIALIZED (SELECT src, dst, COUNT(*) AS cnt FROM ae GROUP BY 1, 2),
+deg AS MATERIALIZED (SELECT src, SUM(cnt) AS deg FROM e GROUP BY 1),
+w AS MATERIALIZED (SELECT e.src, e.dst, CAST(e.cnt AS DOUBLE) / deg.deg AS w
+                   FROM e JOIN deg ON e.src = deg.src),
+nv AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts),
+ns AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+blk AS MATERIALIZED (SELECT id, {blk_expr} AS b FROM verts),
+inadj AS MATERIALIZED (
+    SELECT v.id AS v,
+           COALESCE(LIST(w.src ORDER BY w.src) FILTER (w.src IS NOT NULL),
+                    []) AS srcs,
+           COALESCE(LIST(w.w ORDER BY w.src) FILTER (w.src IS NOT NULL),
+                    []) AS ws,
+           COALESCE(LIST(sb.b = vb.b ORDER BY w.src)
+                    FILTER (w.src IS NOT NULL), []) AS same
+    FROM verts v
+    JOIN blk vb ON vb.id = v.id
+    LEFT JOIN w ON w.dst = v.id
+    LEFT JOIN blk sb ON sb.id = w.src
+    GROUP BY 1),
+prog AS MATERIALIZED (
+    SELECT t.t AS t, i.v, i.srcs, i.ws, i.same,
+           (t.t % {n} = 0) AS first,
+           (dg.src IS NOT NULL) AS has_out
+    FROM (SELECT UNNEST(range(0, {sweeps} * {n})) AS t) t
+    JOIN inadj i ON i.v = t.t % {n}
+    LEFT JOIN deg dg ON dg.src = i.v),
+state(t, x, x0) AS (
+    SELECT CAST(0 AS BIGINT),
+           (SELECT LIST(CAST(1.0 AS DOUBLE) / nv.n ORDER BY id)
+            FROM verts, nv),
+           (SELECT LIST(CAST(1.0 AS DOUBLE) / nv.n ORDER BY id)
+            FROM verts, nv)
+    UNION ALL
+    SELECT s.t + 1,
+           s.x[:CAST(p.v AS INTEGER)] || [{newv}]
+               || s.x[CAST(p.v + 2 AS INTEGER):],
+           {snap}
+    FROM state s JOIN prog p ON p.t = s.t
+)
+SELECT v.id, ROUND(s.x[CAST(v.id + 1 AS INTEGER)], {round_to}) AS rank
+FROM state s, verts v WHERE s.t = {sweeps} * {n}
+"""
+
+
 def cc_minlabel_sql(edges_sql: str, verts_sql: str, iters: int) -> str:
     """Unrolled synchronous min-label propagation over the undirected simple
     edge set — the fixpoint (component = min reachable id) equals
@@ -595,13 +692,39 @@ def _q_pagerank_spmv_cs_5(spark, sf_dir):
     return res.ranks.select("id", F.round("rank", 8).alias("rank"))
 
 
-def _q_pagerank_reflect_nation_5(spark, sf_dir):
+def _q_pagerank_reflect_nation_5_jacobi(spark, sf_dir):
     """Reference semantics (amendSinks reflection, d=0.15, isolated -> 0,
     init 1/|V|; EdgeArray.hs:103-116, PageRank.hs:35) on the nation graph."""
     g = nation_trade_graph(spark, sf_dir)
     res = run_pagerank(g, PageRankConfig(
         damping=0.15, num_iters=5, sink_mode="reflect"))
     return res.ranks.select("id", F.round("rank", 8).alias("rank"))
+
+
+def _q_pagerank_reflect_nation_5(spark, sf_dir):
+    """Reference reflect semantics on the nation graph, union-tagged across
+    the full SCHEDULE family (r5): ``jacobi`` is the synchronous power
+    iteration (PageRankStep.hs); ``gs`` is the async/sequential Gauss-Seidel
+    regime — ``run_pagerank_async(num_blocks=1)``, the reference's
+    deterministic path below the 7000-vertex threshold and ALL of
+    "pagerankND" (PageRank.hs:72-74, PageRankNonDet.hs:66) — and
+    ``block_gs`` the nstart 4-chunk BSP schedule (PageRank.hs:75-82), the
+    reproducible member of the chunk-parallel/VC/EC lock family. Each tag
+    is hash-checked against its own DuckDB twin (the GS tags against the
+    recursive list-CTE ``pagerank_gs_sql``), so a divergence in any
+    schedule breaks the gate."""
+    from .operators.pagerank_async import run_pagerank_async
+    g = nation_trade_graph(spark, sf_dir)
+    tag = lambda s, df: df.select(  # noqa: E731
+        F.lit(s).alias("schedule"), "id",
+        F.round("rank", 8).alias("rank"))
+    cfg = lambda: PageRankConfig(  # noqa: E731
+        damping=0.15, num_iters=5, sink_mode="reflect")
+    jac = _q_pagerank_reflect_nation_5_jacobi(spark, sf_dir).select(
+        F.lit("jacobi").alias("schedule"), "id", "rank")
+    gs = tag("gs", run_pagerank_async(g, cfg(), num_blocks=1).ranks)
+    bgs = tag("block_gs", run_pagerank_async(g, cfg(), num_blocks=4).ranks)
+    return jac.unionByName(gs).unionByName(bgs)
 
 
 def _q_pagerank_topk_nation(spark, sf_dir):
@@ -1810,6 +1933,10 @@ _SQL: dict[str, str] = {
     "pagerank_spmv_cs_5": pagerank_sql(CS_EDGES_SQL, CS_VERTS_SQL, 5),
     "pagerank_reflect_nation_5": pagerank_reflect_sql(
         NATION_EDGES_SQL, NATION_VERTS_SQL, 5),
+    "pagerank_gs_nation_5": pagerank_gs_sql(
+        NATION_EDGES_SQL, NATION_VERTS_SQL, 5, num_blocks=1),
+    "pagerank_blockgs_nation_5": pagerank_gs_sql(
+        NATION_EDGES_SQL, NATION_VERTS_SQL, 5, num_blocks=4),
     "pagerank_topk_nation": (
         "SELECT id, rank FROM ("
         + pagerank_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, 30)
@@ -2073,7 +2200,11 @@ ORACLES: dict[str, str] = {
         ("top10", "id, rank", _SQL["pagerank_topk_nation"]),
     ], "kind"),
     "pagerank_pp_nation": _SQL["pagerank_pp_nation"],
-    "pagerank_reflect_nation_5": _SQL["pagerank_reflect_nation_5"],
+    "pagerank_reflect_nation_5": _tagged_union([
+        ("jacobi", "id, rank", _SQL["pagerank_reflect_nation_5"]),
+        ("gs", "id, rank", _SQL["pagerank_gs_nation_5"]),
+        ("block_gs", "id, rank", _SQL["pagerank_blockgs_nation_5"]),
+    ], "schedule"),
     "pages_linkgraph_pagerank": _SQL["pages_linkgraph_pagerank"],
     "domain_pagerank": _SQL["domain_pagerank"],
     "domain_linkgraph": _SQL["domain_linkgraph"],
