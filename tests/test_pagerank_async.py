@@ -242,3 +242,37 @@ def test_empty_graph(spark):
     res = run_pagerank_async(g, PageRankConfig(
         damping=0.15, sink_mode="none", num_iters=1))
     assert res.ranks.count() == 0
+
+
+# ---------------------------------------------------------------- layer 4:
+# the driver-gate DuckDB twin (queries.pagerank_gs_sql) — the recursive
+# list-CTE replay of the in-place sweep must track the NumPy block-GS
+# oracle exactly at the gate's 8-decimal rounding, on graphs it was NOT
+# hand-tuned for (random digraphs, odd block counts, sinks included)
+
+@pytest.mark.parametrize("seed,b,sweeps", [(0, 1, 4), (1, 3, 4), (2, 7, 3),
+                                           (3, 1, 6), (4, 5, 5)])
+def test_gs_sql_twin_matches_block_oracle_random(seed, b, sweeps):
+    import duckdb
+
+    from haskellpagerank_spark.queries import pagerank_gs_sql
+
+    n = 20 + seed * 3
+    pairs = _random_digraph(n, 0.12, seed)
+    # leave some guaranteed sinks so the amendSinks branch is exercised
+    pairs = [(s, d) for s, d in pairs if s < n - 2]
+    edges_sql = "SELECT * FROM (VALUES " + ", ".join(
+        f"({s}, {d})" for s, d in pairs) + ") _e(src, dst)"
+    verts_sql = f"SELECT UNNEST(range(0, {n})) AS id"
+    got = duckdb.sql(
+        pagerank_gs_sql(edges_sql, verts_sql, sweeps, num_blocks=b)
+    ).fetchall()
+    got = np.array([r[1] for r in sorted(got)])
+
+    src = np.array([s for s, _ in pairs]); dst = np.array([d for _, d in pairs])
+    sinks = np.setdiff1d(np.arange(n), np.unique(src))
+    m = np.isin(dst, sinks)
+    asrc = np.concatenate([src, dst[m]]); adst = np.concatenate([dst, src[m]])
+    want = oracle.pagerank_block_gs(asrc, adst, n, b, damping=0.15,
+                                    init=1.0 / n, num_iters=sweeps)
+    assert np.array_equal(got, np.round(want, 8))
