@@ -24,6 +24,32 @@ fraction of |E| — exactly the prism win, and the same skeleton our CC uses.
 Converges to the unique Jacobi fixpoint within O(eps/(1-d)) per vertex
 (tests check against the converged oracle).
 
+The reference ships six prism variants differing only in activation-set
+bookkeeping (Prism.hs:299-317 snoc-list bag, 322-341 filtered lists,
+344-363 loop counter, 519-543 precomputed neighbor Sets, 489-515 the
+benchmarked canonical, 369-392 mutable sets).  The distributed analogue of
+that axis is the *frontier representation*, exposed as ``frontier_mode``:
+
+``"rows"`` (default; ≈ prism1/prism5 bags)
+    the frontier is a materialized bag of ``(id, delta)`` rows joined
+    against the weighted edge table — deg(u) narrow rows ship per active u.
+``"adj_sets"`` (≈ prism4 precomputed neighbor sets)
+    the adjacency is pre-grouped ONCE into ``src -> array<(dst, w)>``; each
+    superstep joins one grouped row per frontier vertex and explodes on the
+    reduce side.  Wins when the frontier is tiny and degrees modest; a hub
+    row becomes a mega-array — the same trade the reference measured
+    against prism3 (Prism.hs:517-518, "union is not fast enough").
+``"bitmap"`` (≈ prism6/prism2 mutable-set membership)
+    no separate frontier lineage at all: the activation set lives as a
+    boolean flag over the dense vertex state (the distributed bitmap), and
+    the message join filters the checkpointed state in place.
+
+All modes run the same per-superstep float arithmetic shape and converge
+to the same fixpoint; ``tests/test_prism.py`` pins cross-mode parity and
+the gate query unions all three tagged modes against one fixpoint twin.
+prism3's loop counter is the ``iterations``/metrics surface every mode
+already returns.
+
 Only ``sink_mode`` "reflect"/"none" (the reference's domain — prism always
 runs on amended graphs; isolated vertices stay pinned at 0, PageRank.hs:35).
 """
@@ -38,9 +64,13 @@ from .graph import Graph, amend_sinks, out_degrees
 from .pagerank import PageRankConfig, PageRankResult, weighted_edges
 
 
+FRONTIER_MODES = ("rows", "adj_sets", "bitmap")
+
+
 def run_pagerank_incremental(g: Graph, cfg: PageRankConfig | None = None,
                              activate_eps: float | None = None,
-                             warm_ranks=None) -> PageRankResult:
+                             warm_ranks=None,
+                             frontier_mode: str = "rows") -> PageRankResult:
     """Prism-style incremental PageRank; see module docstring.
 
     ``warm_ranks`` (id, rank) warm-starts from a previously converged
@@ -55,6 +85,9 @@ def run_pagerank_incremental(g: Graph, cfg: PageRankConfig | None = None,
     if cfg.sink_mode == "redistribute":
         raise ValueError("incremental mode implements the reference's "
                          "amended-graph semantics; use reflect/none")
+    if frontier_mode not in FRONTIER_MODES:
+        raise ValueError(f"frontier_mode must be one of {FRONTIER_MODES}, "
+                         f"got {frontier_mode!r}")
     eps = activate_eps if activate_eps is not None else cfg.tol
     spark = g.spark
     n = g.num_vertices
@@ -66,6 +99,20 @@ def run_pagerank_incremental(g: Graph, cfg: PageRankConfig | None = None,
     shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ew = weighted_edges(work).repartition(shuffle_p, "src").persist()
     n_edges = ew.count()
+
+    adj = None
+    if frontier_mode == "adj_sets":
+        # prism4's precomputed neighbor Sets: one-time group of the
+        # weighted adjacency so each superstep joins ONE row per frontier
+        # vertex (explode happens post-join). Hub rows become mega-arrays —
+        # acceptable on amended web graphs, and the reason "rows" stays the
+        # default (the reference hit the same wall, Prism.hs:517-518).
+        adj = (
+            ew.groupBy("src")
+            .agg(F.collect_list(F.struct("dst", "w")).alias("nbrs"))
+            .persist()
+        )
+        adj.count()
 
     base = (
         out_degrees(work)
@@ -135,25 +182,49 @@ def run_pagerank_incremental(g: Graph, cfg: PageRankConfig | None = None,
     while it < cfg.max_iters:
         it += 1
         t0 = time.monotonic()
-        frontier = state.where(
-            F.abs(F.col("x") - F.col("sent")) > eps).select(
-            "id", (F.col("x") - F.col("sent")).alias("delta"))
-        frontier = frontier.localCheckpoint(eager=False)
-        # one scalar agg: frontier size + TRUE residuals (sum/max of the
-        # un-sent deltas), so the manifest is comparable across strategies
-        stats = frontier.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum(F.abs("delta")), F.lit(0.0)).alias("l1"),
-            F.coalesce(F.max(F.abs("delta")), F.lit(0.0)).alias("linf"),
-        ).first()
+        active = F.abs(F.col("x") - F.col("sent")) > eps
+        delta = (F.col("x") - F.col("sent")).alias("delta")
+        if frontier_mode == "bitmap":
+            # prism6's mutable membership set: the activation set is a
+            # predicate over the dense checkpointed state — no separate
+            # frontier lineage is materialized; stats come from one full
+            # scan with the flag folded into conditional aggregates
+            stats = state.agg(
+                F.count(F.when(active, F.lit(1))).alias("n"),
+                F.coalesce(F.sum(F.when(
+                    active, F.abs(F.col("x") - F.col("sent")))),
+                    F.lit(0.0)).alias("l1"),
+                F.coalesce(F.max(F.when(
+                    active, F.abs(F.col("x") - F.col("sent")))),
+                    F.lit(0.0)).alias("linf"),
+            ).first()
+            frontier = state.where(active).select("id", delta)
+        else:
+            frontier = state.where(active).select("id", delta)
+            frontier = frontier.localCheckpoint(eager=False)
+            # one scalar agg: frontier size + TRUE residuals (sum/max of
+            # the un-sent deltas) — manifest comparable across strategies
+            stats = frontier.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum(F.abs("delta")), F.lit(0.0)).alias("l1"),
+                F.coalesce(F.max(F.abs("delta")), F.lit(0.0)).alias("linf"),
+            ).first()
         n_active = int(stats["n"])
         if n_active == 0:
             break
-        msgs = (
-            ew.join(frontier.withColumnRenamed("id", "src"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("w") * F.col("delta")).alias("dmsg"))
-        )
+        if frontier_mode == "adj_sets":
+            msgs = (
+                adj.join(frontier.withColumnRenamed("id", "src"), "src")
+                .select("delta", F.explode("nbrs").alias("nb"))
+                .groupBy(F.col("nb.dst").alias("id"))
+                .agg(F.sum(F.col("nb.w") * F.col("delta")).alias("dmsg"))
+            )
+        else:
+            msgs = (
+                ew.join(frontier.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.col("w") * F.col("delta")).alias("dmsg"))
+            )
         state = (
             state
             .withColumn("sent", F.when(
@@ -176,12 +247,15 @@ def run_pagerank_incremental(g: Graph, cfg: PageRankConfig | None = None,
             iteration=it, l1_residual=float(stats["l1"]),
             linf_residual=float(stats["linf"]), rows_shuffled=n_active,
             wall_s=time.monotonic() - t0,
-            extra={"frontier": n_active, "strategy": "incremental"},
+            extra={"frontier": n_active, "strategy": "incremental",
+                   "frontier_mode": frontier_mode},
         )
         metrics.append(m)
         ckpt.write(state, m)
 
     ew.unpersist()
+    if adj is not None:
+        adj.unpersist()
     base.unpersist()
     return PageRankResult(
         ranks=state.select("id", F.col("x").alias("rank")),

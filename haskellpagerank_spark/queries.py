@@ -467,15 +467,26 @@ def _q_triangles_nation(spark, sf_dir):
 
 def _q_prism_nation(spark, sf_dir):
     """Incremental (activation-set) PageRank, reference semantics, on the
-    amended nation graph. Driven to a 1e-11 activation threshold so the
-    result agrees with the converged fixpoint (the DuckDB twin: the
-    reflect-mode power iteration unrolled far past machine-precision
-    convergence) to well inside the 6-decimal rounding."""
-    from .operators.prism import run_pagerank_incremental
+    amended nation graph — ALL THREE frontier representations (the
+    distributed analogue of the reference's prism1-6 bookkeeping variants,
+    Prism.hs:299-543) union-tagged into one row set. Each mode is driven
+    to a 1e-11 activation threshold so every tag agrees with the converged
+    fixpoint (the DuckDB twin: the reflect-mode power iteration unrolled
+    far past machine precision, cross-joined with the mode tags) to well
+    inside the 6-decimal rounding; a divergence in ANY mode breaks the
+    hash."""
+    from .operators.prism import FRONTIER_MODES, run_pagerank_incremental
     g = nation_trade_graph(spark, sf_dir)
-    res = run_pagerank_incremental(g, PageRankConfig(
-        damping=0.15, tol=1e-11, sink_mode="reflect", max_iters=300))
-    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+    out = None
+    for mode in FRONTIER_MODES:
+        res = run_pagerank_incremental(g, PageRankConfig(
+            damping=0.15, tol=1e-11, sink_mode="reflect", max_iters=300),
+            frontier_mode=mode)
+        tagged = res.ranks.select(
+            F.lit(mode).alias("mode"), "id",
+            F.round("rank", 6).alias("rank"))
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
 
 
 def _q_triangles_per_vertex_nation(spark, sf_dir):
@@ -1968,10 +1979,16 @@ _SQL: dict[str, str] = {
     "pagerank_pp_nation": SQ.pagerank_pp_sql(
         NATION_EDGES_SQL, NATION_VERTS_SQL, sweeps=3, max_colors=25,
         coloring_rounds=26),
-    # prism converges to the reflect-mode fixpoint; the twin is the power
-    # iteration unrolled to far past machine precision (0.15^40 ~ 1e-33)
-    "prism_nation": pagerank_reflect_sql(
-        NATION_EDGES_SQL, NATION_VERTS_SQL, 40, round_to=6),
+    # prism converges to the reflect-mode fixpoint regardless of frontier
+    # bookkeeping; the twin is the power iteration unrolled to far past
+    # machine precision (0.15^40 ~ 1e-33) cross-joined with the three
+    # frontier-mode tags the engine unions (rows / adj_sets / bitmap)
+    "prism_nation": (
+        "SELECT t.mode, p.id, p.rank FROM ("
+        + pagerank_reflect_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, 40,
+                               round_to=6)
+        + ") p CROSS JOIN (SELECT UNNEST("
+          "['rows', 'adj_sets', 'bitmap']) AS mode) t"),
     "neardup_minhash_lsh": SQ.minhash_lsh_sql(
         f"""SELECT doc_id AS id, {_SHINGLES_SQL} AS sh
             FROM (SELECT doc_id, {TOK_SQL} AS tok FROM documents)""",

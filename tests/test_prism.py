@@ -39,6 +39,33 @@ def test_frontier_drains(spark):
     assert abs(s - 1.0) < 0.05
 
 
+@pytest.mark.parametrize("mode", ["adj_sets", "bitmap"])
+def test_frontier_modes_reach_same_fixpoint(spark, mode):
+    """prism4/prism6 analogues (precomputed-neighbor-set and bitmap
+    frontiers) converge to the same Jacobi fixpoint as the default bag
+    frontier — the distributed twin of the reference's bookkeeping-only
+    prism variants (Prism.hs:299-543)."""
+    for name in ("doubleSquare", "sinkAndSource"):
+        pairs = FIXTURE_EDGES[name]
+        src, dst, n = O.parse_edges(pairs)
+        asrc, adst = O.amend_sinks(src, dst, n)
+        want = O.pagerank_jacobi(asrc, adst, n, damping=0.15, eps=1e-12,
+                                 init=1.0)
+        g = from_pairs(spark, pairs)
+        res = run_pagerank_incremental(g, PageRankConfig(
+            damping=0.15, tol=1e-9, sink_mode="reflect", init_value=1.0,
+            max_iters=500), activate_eps=1e-9, frontier_mode=mode)
+        got = res.ranks.toPandas().sort_values("id")["rank"].to_numpy()
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        assert all(m.extra["frontier_mode"] == mode for m in res.metrics)
+
+
+def test_frontier_mode_rejects_unknown(spark):
+    g = from_pairs(spark, FIXTURE_EDGES["square"])
+    with pytest.raises(ValueError, match="frontier_mode"):
+        run_pagerank_incremental(g, frontier_mode="snoc")
+
+
 def test_incremental_rejects_redistribute(spark):
     g = from_pairs(spark, FIXTURE_EDGES["square"])
     with pytest.raises(ValueError):
