@@ -74,10 +74,74 @@ def _numpy_load_control(iters: int = 20) -> float:
     return m * iters / (time.monotonic() - t0)
 
 
-def _best_of(n: int, fn, warmup: int = 0) -> tuple[float, object, float]:
+# container-level CPU accounting (cgroup v1 cpuacct): monotonic and
+# reparenting-proof, unlike a /proc tree walk — a pyspark.daemon that exits
+# mid-query reparents its live Arrow workers to init, silently dropping
+# their lifetime CPU from any parent-chain sum (measured as a -180s "delta"
+# before this was switched to cgroups)
+_CPUACCT = "/sys/fs/cgroup/cpuacct/cpuacct.usage"
+
+
+def _tree_cpu_seconds() -> float:
+    """CPU-seconds consumed so far — container cgroup counter when
+    available (preferred: monotonic, survives worker reparenting), else
+    utime+stime+cutime+cstime over this process's live /proc descendant
+    tree (the Spark JVM and its Python workers).
+
+    This is the engine's analogue of the reference's energy measurement
+    (README.md:37-40 — the green-haskell criterion fork regresses RAPL
+    energy against iterations): the container exposes no RAPL counters, so
+    the honest proxy is total CPU-seconds, which is what package energy is
+    first-order proportional to at fixed frequency (joules ~ cpu_s x
+    watts/core). Reported per query as ``cpu`` in the bench JSON; unlike
+    wall-clock it is NOT inflated by host contention (the quota throttles
+    but does not bill neighbors to us), so cpu/wall also acts as a second
+    load dosimeter alongside the NumPy control. The cgroup counter covers
+    the whole container, so the bench protocol (strictly serialized, one
+    query at a time) is what makes the per-query attribution meaningful.
+    """
+    try:
+        with open(_CPUACCT) as f:
+            return int(f.read()) / 1e9
+    except (OSError, ValueError):
+        pass
+    hz = os.sysconf("SC_CLK_TCK")
+    me = os.getpid()
+    parents: dict[int, int] = {}
+    times: dict[int, float] = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                rest = f.read().rsplit(")", 1)[1].split()
+        except (OSError, IndexError):
+            continue
+        parents[int(pid)] = int(rest[1])
+        # utime+stime of the process itself PLUS cutime+cstime (CPU of its
+        # already-reaped children — pyspark.daemon reaps idle Python
+        # workers mid-run; without the c-fields a worker's lifetime CPU
+        # would vanish from the tree sum when it exits, and deltas could
+        # even go negative)
+        times[int(pid)] = (int(rest[11]) + int(rest[12])
+                           + int(rest[13]) + int(rest[14])) / hz
+    seen = {me}
+    changed = True
+    while changed:
+        changed = False
+        for pid, pp in parents.items():
+            if pp in seen and pid not in seen:
+                seen.add(pid)
+                changed = True
+    return sum(times.get(p, 0.0) for p in seen)
+
+
+def _best_of(n: int, fn, warmup: int = 0) -> tuple[float, object, float, float]:
     """Run ``fn`` (which must fully materialize its result) ``warmup``
     untimed + ``n`` timed serialized attempts; return (best timed wall
-    seconds, last result, first-ever wall seconds).
+    seconds, last result, first-ever wall seconds, total CPU-seconds
+    across ALL attempts incl. warm-up — the energy proxy, see
+    :func:`_tree_cpu_seconds`).
 
     Two distinct effects motivate this (BENCH/BASELINE.md §1):
     - host CPU-quota noise: back-to-back 32-thread runs vary 2-3x under
@@ -93,6 +157,7 @@ def _best_of(n: int, fn, warmup: int = 0) -> tuple[float, object, float]:
     best = None
     out = None
     first = None
+    cpu0 = _tree_cpu_seconds()
     for i in range(warmup + n):
         t0 = time.monotonic()
         out = fn()
@@ -101,7 +166,9 @@ def _best_of(n: int, fn, warmup: int = 0) -> tuple[float, object, float]:
             first = dt
         if i >= warmup:
             best = dt if best is None else min(best, dt)
-    return best, out, first
+    # max(0, ·): a worker that died unreaped (reparented off the tree)
+    # can still lose a sliver of CPU between snapshots
+    return best, out, first, max(0.0, _tree_cpu_seconds() - cpu0)
 
 
 def main() -> None:
@@ -114,6 +181,7 @@ def main() -> None:
     queries: dict[str, float] = {}
     extra: dict[str, float] = {}
     runs: dict[str, int] = {}  # per-query attempt counts (best-of-N)
+    cpu: dict[str, float] = {}  # per-query CPU-seconds (energy proxy)
 
     # host-load dosimeter: pure-NumPy control before any Spark work (one
     # short warm-up for page-cache effects, then best of 2 probes)
@@ -136,8 +204,9 @@ def main() -> None:
         _consume(r.ranks)
         return r
 
-    dt, res, _ = _best_of(2, _conv)
+    dt, res, _, cpu_q = _best_of(2, _conv)
     queries["pagerank_conv"] = round(dt, 3)
+    cpu["pagerank_conv"] = round(cpu_q, 1)
     runs["pagerank_conv"] = 2
     edges_per_sec = n_edges * res.iterations / dt
     extra["pagerank_iterations"] = res.iterations
@@ -162,8 +231,9 @@ def main() -> None:
     # best-of-2: the r3 driver number (53.2s vs 28.8s curated) sat in the
     # single-shot-variance family — give it the same min-of-N treatment as
     # the other variance-prone entries
-    dt_prism, cold_inc, _ = _best_of(2, _prism_cold)
+    dt_prism, cold_inc, _, cpu_q = _best_of(2, _prism_cold)
     queries["prism_cold_conv"] = round(dt_prism, 3)
+    cpu["prism_cold_conv"] = round(cpu_q, 1)
     runs["prism_cold_conv"] = 2
     # deterministic ~100-edge delta: hash-pick 1/6000 of edges, rewire dst+1
     delta = (
@@ -183,8 +253,9 @@ def main() -> None:
         _consume(r.ranks)
         return r
 
-    dt_warm, warm_inc, _ = _best_of(2, _prism_warm, warmup=1)
+    dt_warm, warm_inc, _, cpu_q = _best_of(2, _prism_warm, warmup=1)
     queries["prism_delta_warm"] = round(dt_warm, 3)
+    cpu["prism_delta_warm"] = round(cpu_q, 1)
     runs["prism_delta_warm"] = 2
     fronts = [m.extra.get("frontier", 0) for m in warm_inc.metrics]
     extra["prism_warm_supersteps"] = warm_inc.iterations
@@ -210,8 +281,9 @@ def main() -> None:
         _consume(r.ranks)
         return r
 
-    dt_maint, maint, _ = _best_of(2, _prism_maint, warmup=1)
+    dt_maint, maint, _, cpu_q = _best_of(2, _prism_maint, warmup=1)
     queries["prism_maintain"] = round(dt_maint, 3)
+    cpu["prism_maintain"] = round(cpu_q, 1)
     runs["prism_maintain"] = 2
     extra["prism_maintain_supersteps"] = maint.iterations
     g_delta2.edges.unpersist()
@@ -222,12 +294,14 @@ def main() -> None:
     from haskellpagerank_spark.operators.pagerank_local import (
         run_pagerank_local)
     t0 = time.monotonic()
+    cpu0 = _tree_cpu_seconds()
     res_l = run_pagerank_local(g, PageRankConfig(
         damping=0.85, tol=1e-6, tol_norm="l1", sink_mode="redistribute",
         max_iters=100))
     _consume(res_l.ranks)
     dt_l = time.monotonic() - t0
     queries["pagerank_conv_local"] = round(dt_l, 3)
+    cpu["pagerank_conv_local"] = round(max(0.0, _tree_cpu_seconds() - cpu0), 1)
     extra["edges_per_sec_local"] = round(n_edges * res_l.iterations / dt_l, 1)
 
     # -- PageRank fixed 5 sweeps (the reference benchmark protocol,
@@ -237,9 +311,10 @@ def main() -> None:
     #    records under host load (VERDICT r4), so single-shot numbers on
     #    this box measure the neighbor, not the engine.
     def _bench(name: str, fn, n: int = 2, warmup: int = 0):
-        dt, out, _ = _best_of(n, fn, warmup=warmup)
+        dt, out, _, cpu_q = _best_of(n, fn, warmup=warmup)
         queries[name] = round(dt, 3)
         runs[name] = n
+        cpu[name] = round(cpu_q, 1)
         return out
 
     res5 = _bench("pagerank_5iter", lambda: _ret_consume(
@@ -314,9 +389,10 @@ def main() -> None:
         _pg_prev.append(pg_i)
         return pg_i
 
-    dt_ex, pg, dt_ex1 = _best_of(2, _extract, warmup=1)
+    dt_ex, pg, dt_ex1, cpu_q = _best_of(2, _extract, warmup=1)
     n_page_edges = pg.edges.count()
     queries["pages_extract_encode"] = round(dt_ex, 3)
+    cpu["pages_extract_encode"] = round(cpu_q, 1)
     runs["pages_extract_encode"] = 2
     extra["pages_extract_warmup_runs"] = 1
     extra["pages_extract_cold_first_run_s"] = round(dt_ex1, 3)
@@ -327,8 +403,9 @@ def main() -> None:
         _consume(r.ranks)
         return r
 
-    dt_pages_pr, _, _ = _best_of(2, _pages_pr)
+    dt_pages_pr, _, _, cpu_q = _best_of(2, _pages_pr)
     queries["pages_pagerank_5"] = round(dt_pages_pr, 3)
+    cpu["pages_pagerank_5"] = round(cpu_q, 1)
     runs["pages_pagerank_5"] = 2
     extra["pages_n_edges"] = n_page_edges
 
@@ -361,9 +438,11 @@ def main() -> None:
     # ~30s — doubling it would dominate bench wall time; load_factor covers
     # the interpretation instead)
     t0 = time.monotonic()
+    cpu0 = _tree_cpu_seconds()
     cres = coreness(pg)
     _consume(cres.df)
     queries["pages_coreness_hindex"] = round(time.monotonic() - t0, 3)
+    cpu["pages_coreness_hindex"] = round(max(0.0, _tree_cpu_seconds() - cpu0), 1)
     extra["coreness_rounds"] = cres.iterations
 
     # -- bigger-scale skew point: ~10M edges, 10 mega-hubs holding ~20% of
@@ -384,8 +463,9 @@ def main() -> None:
         _consume(r.ranks)
         return r
 
-    dt_skew, _, _ = _best_of(2, _skew)
+    dt_skew, _, _, cpu_q = _best_of(2, _skew)
     queries["pagerank_10m_skew_5iter"] = round(dt_skew, 3)
+    cpu["pagerank_10m_skew_5iter"] = round(cpu_q, 1)
     runs["pagerank_10m_skew_5iter"] = 2
     extra["skew_n_edges"] = n_skew_edges
     extra["skew_edges_per_sec"] = round(n_skew_edges * 5 / dt_skew, 1)
@@ -402,10 +482,11 @@ def main() -> None:
     from haskellpagerank_spark.functions.dedup import minhash_lsh_pairs
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
     docs.count()
-    dt_mh, _, first_mh = _best_of(
+    dt_mh, _, first_mh, cpu_q = _best_of(
         2, lambda: _consume(minhash_lsh_pairs(docs, threshold=0.5)),
         warmup=3)
     queries["minhash_lsh_documents"] = round(dt_mh, 3)
+    cpu["minhash_lsh_documents"] = round(cpu_q, 1)
     runs["minhash_lsh_documents"] = 2
     extra["minhash_warmup_runs"] = 3
     extra["minhash_cold_first_run_s"] = round(first_mh, 3)
@@ -415,10 +496,11 @@ def main() -> None:
     from haskellpagerank_spark.functions.similarity import ann_lsh_pairs
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
     emb.count()
-    dt_lsh, _, first_lsh = _best_of(
+    dt_lsh, _, first_lsh, cpu_q = _best_of(
         2, lambda: _consume(ann_lsh_pairs(emb, dim=64, threshold=0.35)),
         warmup=1)
     queries["ann_lsh_embeddings"] = round(dt_lsh, 3)
+    cpu["ann_lsh_embeddings"] = round(cpu_q, 1)
     runs["ann_lsh_embeddings"] = 2
     extra["ann_lsh_cold_first_run_s"] = round(first_lsh, 3)
     docs.unpersist()
@@ -430,12 +512,13 @@ def main() -> None:
     from haskellpagerank_spark.functions.urls import (dedup_crawl,
                                                       synthetic_crawl)
     n_pages = 300_000
-    dt_url, _, first_url = _best_of(
+    dt_url, _, first_url, cpu_q = _best_of(
         2, lambda: _consume(
             dedup_crawl(synthetic_crawl(spark, n_pages=n_pages,
                                         snapshots=3))),
         warmup=1)
     queries["url_dedup_crawl_300k"] = round(dt_url, 3)
+    cpu["url_dedup_crawl_300k"] = round(cpu_q, 1)
     runs["url_dedup_crawl_300k"] = 2
     extra["url_dedup_captures_per_sec"] = round(n_pages * 3 / dt_url, 1)
     extra["url_dedup_cold_first_run_s"] = round(first_url, 3)
@@ -460,6 +543,8 @@ def main() -> None:
         "unit": "edges/sec",
         "queries": queries,
         "runs": runs,
+        "cpu": cpu,
+        "cpu_seconds_total": round(sum(cpu.values()), 1),
         "sf": sf,
         "cpus": cpus,
         **{k: (round(v, 6) if isinstance(v, float) else v)
