@@ -162,6 +162,25 @@ def main() -> int:
         must_not=["BatchEvalPython"],
     )
 
+    # 6b. prism adj_sets frontier mode: the pre-grouped adjacency join —
+    #     one grouped row per frontier vertex, explode AFTER the join (the
+    #     prism4 analogue); pure catalyst, explode + two-phase agg
+    frontier = ranks.select("id", F.lit(1e-3).alias("delta")).limit(100)
+    adj = ew.groupBy("src").agg(
+        F.collect_list(F.struct("dst", "w")).alias("nbrs"))
+    prism_msgs = (
+        adj.join(frontier.withColumnRenamed("id", "src"), "src")
+        .select("delta", F.explode("nbrs").alias("nb"))
+        .groupBy(F.col("nb.dst").alias("id"))
+        .agg(F.sum(F.col("nb.w") * F.col("delta")).alias("dmsg"))
+    )
+    audit(
+        "prism adj_sets msgs — grouped-adjacency join, post-join explode",
+        prism_msgs,
+        must=["HashAggregate", "Generate"],
+        must_not=["BatchEvalPython", "ArrowEvalPython"],
+    )
+
     # 7. LSH signatures: ONE Arrow kernel; hyperplanes in the closure, so
     #    the plan is O(1) in embedding dim (no plan literals)
     from haskellpagerank_spark.functions.similarity import lsh_signatures
