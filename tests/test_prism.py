@@ -60,6 +60,32 @@ def test_frontier_modes_reach_same_fixpoint(spark, mode):
         assert all(m.extra["frontier_mode"] == mode for m in res.metrics)
 
 
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_frontier_modes_agree_on_random_graphs(spark, seed):
+    """Randomized three-way frontier-mode parity on seeded G(n,p) digraphs
+    with sinks, duplicate edges, and a hub: every mode must land within
+    activation-eps-scale distance of the same fixpoint (the modes share
+    per-superstep arithmetic, but message-sum ORDER differs, so exact
+    bit-parity is not the contract — the fixpoint is)."""
+    import random
+    rng = random.Random(seed)
+    n = rng.randint(15, 30)
+    pairs = [(u, v) for u in range(n) for v in range(n)
+             if u != v and rng.random() < 0.12]
+    pairs += [(0, v) for v in range(1, n, 3)]              # hub
+    pairs += rng.sample(pairs, k=max(1, len(pairs) // 8))  # duplicates
+    g = from_pairs(spark, pairs)
+    cfg = PageRankConfig(damping=0.15, tol=1e-10, sink_mode="reflect",
+                         init_value=1.0, max_iters=500)
+    got = {}
+    for mode in ("rows", "adj_sets", "bitmap"):
+        res = run_pagerank_incremental(g, cfg, activate_eps=1e-10,
+                                       frontier_mode=mode)
+        got[mode] = res.ranks.toPandas().sort_values("id")["rank"].to_numpy()
+    np.testing.assert_allclose(got["adj_sets"], got["rows"], atol=1e-7)
+    np.testing.assert_allclose(got["bitmap"], got["rows"], atol=1e-7)
+
+
 def test_frontier_mode_rejects_unknown(spark):
     g = from_pairs(spark, FIXTURE_EDGES["square"])
     with pytest.raises(ValueError, match="frontier_mode"):
