@@ -44,14 +44,16 @@ def _ret_consume(result, attr: str = "ranks"):
     return result
 
 
-# Pinned idle-host throughput of `_numpy_load_control` (best of several runs
-# on this box with nothing else running, 2026-08-19). The control is pure
-# NumPy — zero Spark, zero JVM — so any shortfall vs the pin measures HOST
-# LOAD (this machine has a ~10-effective-core CPU quota shared with
-# neighbors; see BENCH/BASELINE.md §6b), not the engine. `load_factor` in
-# the emitted JSON = pinned / measured: 1.0 means the bench ran on an idle
-# host; 5.0 means every wall-clock below should be read as ~5x inflated.
-PINNED_CONTROL_EPS = 70.0e6
+# Pinned idle-host throughput of `_numpy_load_control` (best measured on
+# this box with nothing else running; raised 70.0e6 -> 93.7e6 on 2026-08-20
+# when an idle-host pass beat the old pin — single-core burst speed itself
+# varies with neighbor load). The control is pure NumPy — zero Spark, zero
+# JVM — so any shortfall vs the pin measures HOST LOAD (this machine has a
+# ~10-effective-core CPU quota shared with neighbors; see BENCH/BASELINE.md
+# §6b), not the engine. `load_factor` in the emitted JSON = pinned /
+# measured: 1.0 means the bench ran on an idle host; 5.0 means every
+# wall-clock below should be read as ~5x inflated.
+PINNED_CONTROL_EPS = 93.7e6
 
 
 def _numpy_load_control(iters: int = 20) -> float:
