@@ -226,7 +226,7 @@ def main() -> None:
         damping=0.85, tol=1e-6, sink_mode="reflect", max_iters=200)
 
     def _prism_cold():
-        r = run_pagerank_incremental(g, prism_cfg)
+        r = run_pagerank_incremental(g, prism_cfg, frontier_mode="auto")
         _consume(r.ranks)
         return r
 
@@ -251,7 +251,8 @@ def main() -> None:
     # byte-identical supersteps/frontier — pure host-load artifact)
     def _prism_warm():
         r = run_pagerank_incremental(
-            g_delta, prism_cfg, warm_ranks=cold_inc.ranks)
+            g_delta, prism_cfg, warm_ranks=cold_inc.ranks,
+            frontier_mode="auto")
         _consume(r.ranks)
         return r
 
@@ -264,6 +265,9 @@ def main() -> None:
     extra["prism_warm_frontier_max"] = max(fronts) if fronts else 0
     extra["prism_warm_frontier_sum"] = sum(fronts)
     extra["prism_cold_supersteps"] = cold_inc.iterations
+    extra["prism_frontier_mode"] = (
+        cold_inc.metrics[0].extra.get("frontier_mode", "rows")
+        if cold_inc.metrics else "rows")
 
     # -- steady-state maintenance: a SECOND delta warm-started from the
     #    already-maintained state (the per-crawl-batch regime a streaming
@@ -279,7 +283,8 @@ def main() -> None:
 
     def _prism_maint():
         r = run_pagerank_incremental(
-            g_delta2, prism_cfg, warm_ranks=warm_inc.ranks)
+            g_delta2, prism_cfg, warm_ranks=warm_inc.ranks,
+            frontier_mode="auto")
         _consume(r.ranks)
         return r
 

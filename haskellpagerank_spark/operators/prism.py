@@ -48,7 +48,9 @@ All modes run the same per-superstep float arithmetic shape and converge
 to the same fixpoint; ``tests/test_prism.py`` pins cross-mode parity and
 the gate query unions all three tagged modes against one fixpoint twin.
 prism3's loop counter is the ``iterations``/metrics surface every mode
-already returns.
+already returns.  ``frontier_mode="auto"`` dispatches on the max amended
+out-degree: adj_sets below :data:`ADJ_SETS_MAX_DEGREE` (measured ~1.25x
+faster on hub-free graphs), rows above it (hub-safe).
 
 Only ``sink_mode`` "reflect"/"none" (the reference's domain — prism always
 runs on amended graphs; isolated vertices stay pinned at 0, PageRank.hs:35).
@@ -65,6 +67,14 @@ from .pagerank import PageRankConfig, PageRankResult, weighted_edges
 
 
 FRONTIER_MODES = ("rows", "adj_sets", "bitmap")
+
+# auto picks adj_sets only when no amended-graph out-degree exceeds this —
+# above it a single grouped adjacency row holds >64k (dst, w) structs
+# (several MB) and the pre-group trades a narrow-row shuffle for
+# straggler/memory risk on the hub partitions (measured the other way:
+# adj_sets is ~1.25x faster than rows on the modest-degree cs graph,
+# BENCH/prism_modes.json)
+ADJ_SETS_MAX_DEGREE = 65536
 
 
 def run_pagerank_incremental(g: Graph, cfg: PageRankConfig | None = None,
@@ -85,8 +95,9 @@ def run_pagerank_incremental(g: Graph, cfg: PageRankConfig | None = None,
     if cfg.sink_mode == "redistribute":
         raise ValueError("incremental mode implements the reference's "
                          "amended-graph semantics; use reflect/none")
-    if frontier_mode not in FRONTIER_MODES:
-        raise ValueError(f"frontier_mode must be one of {FRONTIER_MODES}, "
+    if frontier_mode not in FRONTIER_MODES + ("auto",):
+        raise ValueError(f"frontier_mode must be one of "
+                         f"{FRONTIER_MODES + ('auto',)}, "
                          f"got {frontier_mode!r}")
     eps = activate_eps if activate_eps is not None else cfg.tol
     spark = g.spark
@@ -99,6 +110,21 @@ def run_pagerank_incremental(g: Graph, cfg: PageRankConfig | None = None,
     shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ew = weighted_edges(work).repartition(shuffle_p, "src").persist()
     n_edges = ew.count()
+
+    if frontier_mode == "auto":
+        # warm starts drain in a handful of tiny-frontier supersteps, so
+        # the one-time adjacency pre-group can't amortize (measured: warm
+        # 6.8s adj_sets vs 4.8s rows at sf0.1, cold 21.2s vs 23.6s) — only
+        # cold convergence considers adj_sets, and only when no amended
+        # out-degree balloons a grouped row (one shuffle-free agg; ew is
+        # already hash-partitioned by src)
+        if warm_ranks is not None:
+            frontier_mode = "rows"
+        else:
+            max_deg = (ew.groupBy("src").count()
+                       .agg(F.max("count")).first()[0]) or 0
+            frontier_mode = ("adj_sets" if max_deg <= ADJ_SETS_MAX_DEGREE
+                             else "rows")
 
     adj = None
     if frontier_mode == "adj_sets":

@@ -86,6 +86,21 @@ def test_frontier_modes_agree_on_random_graphs(spark, seed):
     np.testing.assert_allclose(got["bitmap"], got["rows"], atol=1e-7)
 
 
+def test_frontier_mode_auto_dispatch(spark, monkeypatch):
+    """auto picks adj_sets on hub-free graphs and falls back to the
+    hub-safe rows bag when any amended out-degree exceeds the envelope
+    (forced here by shrinking the threshold to 0)."""
+    import haskellpagerank_spark.operators.prism as P
+    cfg = PageRankConfig(damping=0.15, tol=1e-8, sink_mode="reflect",
+                         init_value=1.0, max_iters=500)
+    g = from_pairs(spark, FIXTURE_EDGES["doubleSquare"])
+    res = run_pagerank_incremental(g, cfg, frontier_mode="auto")
+    assert res.metrics[0].extra["frontier_mode"] == "adj_sets"
+    monkeypatch.setattr(P, "ADJ_SETS_MAX_DEGREE", 0)
+    res = run_pagerank_incremental(g, cfg, frontier_mode="auto")
+    assert res.metrics[0].extra["frontier_mode"] == "rows"
+
+
 def test_frontier_mode_rejects_unknown(spark):
     g = from_pairs(spark, FIXTURE_EDGES["square"])
     with pytest.raises(ValueError, match="frontier_mode"):
