@@ -496,6 +496,68 @@ def harmonic_centrality(g: Graph, landmarks: list[int],
     return StructureResult(df=out, iterations=depth, metrics=metrics)
 
 
+# ----------------------------------------------------------------- SimRank
+
+def simrank(g: Graph, iters: int = 3, c: float = 0.8,
+            max_pairs: int = 5_000_000) -> DataFrame:
+    """All-pairs SimRank (Jeh & Widom, WWW 2002) on the directed simple
+    graph: s(a,a)=1; s(a,b) = c/(|I(a)||I(b)|) * sum over in-neighbor
+    pairs (i,j) of s(i,j); 0 when either in-neighborhood is empty.
+    Returns (a, b, score) for a < b with score > 0 (structural inclusion:
+    a pair scores nonzero iff a connecting in-path pair exists, so the row
+    set is engine-independent).
+
+    Distributed shape: the score state S is a sparse (a, b, s) DataFrame;
+    each iteration is two edge joins (expand every scored pair to its
+    out-neighbor pairs) + one (a, b) sum agg + the in-degree normalization
+    join — all Catalyst joins/aggs, no Python in the loop.
+
+    All-pairs SimRank is inherently quadratic in state (|S| can reach
+    |V|^2): ``max_pairs`` bounds the materialized state and raises rather
+    than silently thrashing. At web scale the practical forms are
+    single-source / top-k SimRank over random-surfer samples; this
+    operator is the exact small/medium-graph kernel (the same COST-tier
+    envelope logic as coreness/scc — see BENCH/BASELINE.md).
+    """
+    e = (g.edges.where(F.col("src") != F.col("dst"))
+         .dropDuplicates(["src", "dst"]).persist())
+    ind = e.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("ind")).persist()
+    diag = g.vertices().select(
+        F.col("id").alias("a"), F.col("id").alias("b"),
+        F.lit(1.0).alias("s"))
+    s = diag.localCheckpoint(eager=True)
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("pa"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("pb"))
+    for _ in range(iters):
+        m = (s.join(e1, "a").join(e2, "b")
+             .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
+             .agg(F.sum("s").alias("tot")))
+        off = (
+            m.where(F.col("a") != F.col("b"))
+            .join(ind.select(F.col("id").alias("a"),
+                             F.col("ind").alias("ia")), "a")
+            .join(ind.select(F.col("id").alias("b"),
+                             F.col("ind").alias("ib")), "b")
+            .select("a", "b", (F.lit(c) * F.col("tot")
+                               / (F.col("ia") * F.col("ib"))).alias("s"))
+        )
+        s = diag.unionByName(off).localCheckpoint(eager=True)
+        n_pairs = s.count()
+        if n_pairs > max_pairs:
+            e.unpersist()
+            ind.unpersist()
+            raise RuntimeError(
+                f"simrank state reached {n_pairs} pairs (> max_pairs="
+                f"{max_pairs}); all-pairs SimRank is quadratic — use a "
+                f"larger budget only with the memory to hold it, or a "
+                f"top-k/single-source formulation at this scale")
+    e.unpersist()
+    ind.unpersist()
+    return (s.where(F.col("a") < F.col("b")).where(F.col("s") > 0)
+            .select("a", "b", F.col("s").alias("score")))
+
+
 # --------------------------------------------------- Adamic-Adar prediction
 
 def adamic_adar(g: Graph, min_common: int = 1,

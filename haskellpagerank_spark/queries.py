@@ -1447,9 +1447,18 @@ def _q_teleport_rank_nation(spark, sf_dir):
             .unionByName(tag("trustrank", _q_trustrank_nation(spark, sf_dir))))
 
 
+def _q_simrank_nation(spark, sf_dir):
+    """All-pairs SimRank, 3 iterations, c=0.8, on the directed nation
+    graph (structure.simrank — round-5 fold into pair_scores_nation)."""
+    from .operators.structure import simrank
+    return simrank(nation_trade_graph(spark, sf_dir), iters=3,
+                   c=0.8).select(
+        "a", "b", F.round("score", 6).alias("score"))
+
+
 def _q_pair_scores_nation(spark, sf_dir):
     """Neighborhood pair-similarity family (co-citation counts, Jaccard
-    neighbor similarity, Adamic-Adar), union-tagged as
+    neighbor similarity, Adamic-Adar, SimRank), union-tagged as
     (kind, a, b, common, score)."""
     co = _q_cocitation_nation(spark, sf_dir).select(
         F.lit("cocitation").alias("kind"), "a", "b", "common",
@@ -1459,7 +1468,10 @@ def _q_pair_scores_nation(spark, sf_dir):
         F.col("jac").alias("score"))
     aa = _q_adamic_adar_nation(spark, sf_dir).select(
         F.lit("adamic_adar").alias("kind"), "a", "b", "common", "score")
-    return co.unionByName(ja).unionByName(aa)
+    sr = _q_simrank_nation(spark, sf_dir).select(
+        F.lit("simrank").alias("kind"), "a", "b",
+        F.lit(0).cast("long").alias("common"), "score")
+    return co.unionByName(ja).unionByName(aa).unionByName(sr)
 
 
 def _q_graph_summary_assort_nation(spark, sf_dir):
@@ -2059,6 +2071,8 @@ _SQL: dict[str, str] = {
                                rounds=26),
     "harmonic_nation": SQ.harmonic_sql(NATION_EDGES_SQL, NATION_VERTS_SQL),
     "adamic_adar_nation": SQ.adamic_adar_sql(NATION_EDGES_SQL),
+    "simrank_nation": SQ.simrank_sql(NATION_EDGES_SQL, NATION_VERTS_SQL,
+                                     iters=3, c=0.8),
     "graph_summary_nation": SQ.graph_summary_sql(NATION_EDGES_SQL,
                                                  NATION_VERTS_SQL),
     "walks_nation": _walks_sql_twin(),
@@ -2264,6 +2278,8 @@ ORACLES: dict[str, str] = {
         ("jaccard", "a, b, common, jac AS score",
          _SQL["jaccard_neighbors_nation"]),
         ("adamic_adar", "a, b, common, score", _SQL["adamic_adar_nation"]),
+        ("simrank", "a, b, CAST(0 AS BIGINT) AS common, score",
+         _SQL["simrank_nation"]),
     ], "kind"),
     "graph_summary_nation": (
         f"SELECT * FROM ({_SQL['graph_summary_nation']}) s "

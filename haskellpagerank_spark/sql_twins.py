@@ -982,6 +982,44 @@ def jaccard_neighbors_sql(edges_sql: str, min_common: int = 1,
     """
 
 
+def simrank_sql(edges_sql: str, verts_sql: str, iters: int,
+                c: float = 0.8, round_to: int = 6) -> str:
+    """All-pairs SimRank unrolled ``iters`` times (matches
+    operators.structure.simrank): s0 = identity; each step expands every
+    scored pair through the directed simple edge set, sums per target
+    pair, normalizes by the in-degree product, and re-pins the diagonal.
+    Output: (a, b, score) for a < b with score > 0 (structural inclusion,
+    identical in every engine)."""
+    ctes = [
+        f"e0 AS ({edges_sql})",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 "
+        "WHERE src <> dst)",
+        f"verts AS MATERIALIZED ({verts_sql})",
+        "ind AS MATERIALIZED (SELECT dst AS id, COUNT(*) AS ind "
+        "FROM e GROUP BY 1)",
+        "s0 AS MATERIALIZED (SELECT id AS a, id AS b, 1.0 AS s FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT e1.dst AS a, e2.dst AS b, "
+            f"SUM(s.s) AS tot FROM s{p} s "
+            "JOIN e e1 ON e1.src = s.a JOIN e e2 ON e2.src = s.b "
+            "GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED ("
+            "SELECT id AS a, id AS b, 1.0 AS s FROM verts "
+            "UNION ALL "
+            f"SELECT m.a, m.b, {c} * m.tot / (ia.ind * ib.ind) AS s "
+            f"FROM m{i} m JOIN ind ia ON ia.id = m.a "
+            "JOIN ind ib ON ib.id = m.b WHERE m.a <> m.b)"
+        )
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT a, b, ROUND(s, {round_to}) AS score FROM s{iters} "
+              "WHERE a < b AND s > 0")
+
+
 def ngram_counts_sql(n: int, min_count: int = 2) -> str:
     """Corpus n-gram counts over ``documents`` (matches functions.text
     .ngram_counts; same whitespace tokenizer twin as token_stats)."""

@@ -506,3 +506,66 @@ def test_cross_operator_invariants_random_digraphs(spark, seed):
     core = {v for v, c in bt.items() if c == "CORE"}
     largest_scc = max(Counter(scc.values()).items(), key=lambda kv: kv[1])
     assert core == {v for v in scc if scc[v] == largest_scc[0]}
+
+
+# ----------------------------------------------------------------- SimRank
+
+def _simrank_numpy(src, dst, n, iters, c):
+    """Matrix-form SimRank oracle: S_{k+1} = c * W^T S_k W with the
+    diagonal re-pinned to 1, where W[i, a] = 1/|I(a)| for i in I(a)
+    (Jeh & Widom 2002, eq. 2 in matrix form)."""
+    W = np.zeros((n, n))
+    for i, a in {(int(s), int(d)) for s, d in zip(src, dst) if s != d}:
+        W[i, a] = 1.0
+    col = W.sum(axis=0)
+    col[col == 0] = 1.0
+    W = W / col
+    S = np.eye(n)
+    for _ in range(iters):
+        S = c * (W.T @ S @ W)
+        np.fill_diagonal(S, 1.0)
+    return S
+
+
+@pytest.mark.parametrize("name", ["doubleSquare", "princeton", "complete",
+                                  "sinkAndSource"])
+def test_simrank_matches_numpy_oracle(spark, name):
+    from haskellpagerank_spark.operators.structure import simrank
+    src, dst, n = _arrays(name)
+    want = _simrank_numpy(src, dst, n, iters=3, c=0.8)
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    got = {(r["a"], r["b"]): r["score"]
+           for r in simrank(g, iters=3, c=0.8).collect()}
+    for a in range(n):
+        for b in range(a + 1, n):
+            if want[a, b] > 0:
+                assert abs(got[(a, b)] - want[a, b]) < 1e-12, (a, b)
+            else:
+                assert (a, b) not in got
+    assert all(0.0 < v <= 1.0 + 1e-12 for v in got.values())
+
+
+@pytest.mark.parametrize("seed", [3, 41])
+def test_simrank_random_digraphs(spark, seed):
+    import random
+    from haskellpagerank_spark.operators.structure import simrank
+    rng = random.Random(seed)
+    n = rng.randint(8, 14)
+    pairs = [(u, v) for u in range(n) for v in range(n)
+             if u != v and rng.random() < 0.2]
+    pairs += rng.sample(pairs, k=max(1, len(pairs) // 5))  # duplicates
+    src = np.array([p[0] for p in pairs])
+    dst = np.array([p[1] for p in pairs])
+    want = _simrank_numpy(src, dst, n, iters=4, c=0.6)
+    g = from_pairs(spark, pairs)
+    got = {(r["a"], r["b"]): r["score"]
+           for r in simrank(g, iters=4, c=0.6).collect()}
+    for (a, b), v in got.items():
+        assert abs(v - want[a, b]) < 1e-12
+
+
+def test_simrank_pair_budget_raises(spark):
+    from haskellpagerank_spark.operators.structure import simrank
+    g = from_pairs(spark, FIXTURE_EDGES["complete"])
+    with pytest.raises(RuntimeError, match="max_pairs"):
+        simrank(g, iters=1, max_pairs=3)
