@@ -1035,17 +1035,27 @@ def _powerlaw_sql_twin() -> str:
 
 
 def _walks_sql_twin() -> str:
-    from .operators.walks import walks_sql
-    return walks_sql(NATION_EDGES_SQL, NATION_VERTS_SQL,
-                     walk_length=5, walks_per_vertex=2)
+    from .operators.walks import biased_walks_sql, walks_sql
+    uni = walks_sql(NATION_EDGES_SQL, NATION_VERTS_SQL,
+                    walk_length=5, walks_per_vertex=2)
+    n2v = biased_walks_sql(NATION_EDGES_SQL, NATION_VERTS_SQL,
+                           walk_length=5, walks_per_vertex=2)
+    return (f"SELECT 'uniform' AS kind, * FROM ({uni}) _u "
+            f"UNION ALL SELECT 'node2vec' AS kind, * FROM ({n2v}) _b")
 
 
 def _q_walks_nation(spark, sf_dir):
-    """Deterministic DeepWalk-style corpus: 2 walks of 5 steps per nation,
-    md5-chooser next-hop (operators/walks.py — cross-engine reproducible)."""
-    from .operators.walks import random_walks
-    return random_walks(nation_trade_graph(spark, sf_dir),
-                        walk_length=5, walks_per_vertex=2)
+    """Deterministic walk corpora: 2 walks of 5 steps per nation, both the
+    first-order DeepWalk-style chooser AND the second-order node2vec
+    biased chooser (integer weights return=1/common=4/far=2), union-tagged
+    (kind, walk_id, step, vertex) — md5 pick, cross-engine bit-exact."""
+    from .operators.walks import biased_walks, random_walks
+    g = nation_trade_graph(spark, sf_dir)
+    uni = random_walks(g, walk_length=5, walks_per_vertex=2).select(
+        F.lit("uniform").alias("kind"), "walk_id", "step", "vertex")
+    n2v = biased_walks(g, walk_length=5, walks_per_vertex=2).select(
+        F.lit("node2vec").alias("kind"), "walk_id", "step", "vertex")
+    return uni.unionByName(n2v)
 
 
 def _q_domain_linkgraph(spark, sf_dir):

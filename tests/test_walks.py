@@ -77,3 +77,91 @@ def test_walks_sql_twin_matches_oracle():
     got = {(wid, step): v for wid, step, v in duckdb.sql(q).fetchall()}
     assert got == oracle.random_walks(src, dst, n, walk_length=4,
                                       walks_per_vertex=2)
+
+
+# ----------------------------------------------- node2vec second-order walks
+
+def _biased_walks_py(pairs, n, walk_length, walks_per_vertex, seed=42,
+                     w_return=1, w_common=4, w_far=2):
+    """Pure-Python brute force of the deterministic node2vec chooser."""
+    import hashlib
+    adj = {}
+    eset = set()
+    for s, d in pairs:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            eset.add((s, d))
+    adj = {v: sorted(ds) for v, ds in adj.items()}
+
+    def h(walk_id, step):
+        m = hashlib.md5(f"{seed}|{walk_id}|{step}".encode()).hexdigest()
+        return int(m[:15], 16)
+
+    out = {}
+    for v in range(n):
+        for k in range(walks_per_vertex):
+            wid = v * walks_per_vertex + k
+            out[(wid, 0)] = v
+            cur, prev = v, None
+            for step in range(1, walk_length + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                if prev is None:
+                    nxt = nbrs[h(wid, step) % len(nbrs)]
+                else:
+                    ws = [w_return if x == prev
+                          else (w_common if (prev, x) in eset else w_far)
+                          for x in nbrs]
+                    r = h(wid, step) % sum(ws)
+                    acc = 0
+                    for x, w in zip(nbrs, ws):
+                        acc += w
+                        if r < acc:
+                            nxt = x
+                            break
+                out[(wid, step)] = nxt
+                prev, cur = cur, nxt
+    return out
+
+
+@pytest.mark.parametrize("name", ["doubleSquare", "princeton", "complete"])
+def test_biased_walks_match_python_bruteforce(spark, name):
+    from haskellpagerank_spark.operators.walks import biased_walks
+    pairs = FIXTURE_EDGES[name]
+    src, dst, n = oracle.parse_edges(pairs)
+    want = _biased_walks_py(pairs, n, walk_length=4, walks_per_vertex=2)
+    g = from_pairs(spark, pairs)
+    got = {(r["walk_id"], r["step"]): r["vertex"]
+           for r in biased_walks(g, walk_length=4,
+                                 walks_per_vertex=2).collect()}
+    assert got == want
+
+
+def test_biased_walks_sql_twin_matches_bruteforce():
+    from haskellpagerank_spark.operators.walks import biased_walks_sql
+    pairs = [(0, 1), (1, 2), (2, 0), (0, 2), (2, 3), (3, 1), (1, 0)]
+    src, dst, n = oracle.parse_edges(pairs)
+    edges_sql = " UNION ALL ".join(
+        f"SELECT {s} AS src, {d} AS dst" for s, d in pairs)
+    verts_sql = " UNION ALL ".join(f"SELECT {v} AS id" for v in range(n))
+    q = biased_walks_sql(f"({edges_sql})", f"({verts_sql})", walk_length=4,
+                         walks_per_vertex=2)
+    got = {(wid, step): v for wid, step, v in duckdb.sql(q).fetchall()}
+    assert got == _biased_walks_py(pairs, n, walk_length=4,
+                                   walks_per_vertex=2)
+
+
+def test_biased_walks_every_hop_is_an_edge(spark):
+    from haskellpagerank_spark.operators.walks import biased_walks
+    pairs = FIXTURE_EDGES["princeton"]
+    eset = {(s, d) for s, d in pairs if s != d}
+    g = from_pairs(spark, pairs)
+    rows = biased_walks(g, walk_length=5, walks_per_vertex=2).collect()
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault(r["walk_id"], {})[r["step"]] = r["vertex"]
+    for steps in by_walk.values():
+        for t in range(1, max(steps) + 1):
+            assert t - 1 in steps, "steps contiguous"
+            assert (steps[t - 1], steps[t]) in eset
