@@ -432,6 +432,14 @@ def main() -> None:
     _bench("pages_bowtie",
            lambda: _ret_consume(bowtie(pg, scc_res.df), "df"))
 
+    # -- node2vec biased walks on the pages graph: 50k walks x 5
+    #    second-order steps (deg(v) candidate expansion per step — the
+    #    honest node2vec cost shape), integer-weight md5 chooser
+    from haskellpagerank_spark.operators.walks import biased_walks
+    _bench("pages_node2vec_walks",
+           lambda: _consume(biased_walks(pg, walk_length=5,
+                                         walks_per_vertex=1)))
+
     # -- full core decomposition on the pages graph: auto tier (COST pick
     #    at this |E| is the driver-local Batagelj-Zaversnik bucket peel)
     #    plus the distributed h-index fixpoint path (histogram per round)
