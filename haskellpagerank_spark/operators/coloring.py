@@ -319,6 +319,110 @@ def speculative_coloring(g: Graph, max_iters: int = 500) -> IterativeResult:
     return IterativeResult(df=colors, iterations=it, metrics=metrics)
 
 
+def maximal_independent_set(
+    g: Graph,
+    priorities: DataFrame | None = None,
+    seed: int = 42,
+    max_iters: int = 10_000,
+) -> IterativeResult:
+    """Luby-style maximal independent set (Luby, SIAM J. Comput. 1986) with
+    DETERMINISTIC priorities: per round every undecided vertex that precedes
+    all of its undecided neighbors — (pri[v], v) < (pri[u], u), the same
+    total order as :func:`jones_plassmann` — enters the MIS, and its
+    neighbors leave the game. With a fixed priority vector the fixpoint is
+    schedule-independent and equals BOTH the sequential greedy MIS in
+    priority order AND the color-1 class of the Jones–Plassmann coloring
+    under the same priorities (a vertex gets color 1 iff no predecessor got
+    color 1 iff no predecessor is in the greedy MIS — induction over the
+    precedence DAG). pytest checks all three agree; the DuckDB gate twin
+    reuses the JP twin through that theorem (sql_twins.mis_sql).
+
+    Scale shape: per round one semi-join to find beaten vertices + one
+    neighbor expansion of the new winners; the active vertex/edge sets
+    shrink geometrically (each round removes every current local minimum
+    and its whole neighborhood — expected O(log n) rounds with hashed
+    priorities). No Python in the loop; active sets are localCheckpointed
+    so lineage stays flat.
+
+    Returns (id, in_mis int 1/0) for every vertex.
+    """
+    spark = g.spark
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if priorities is None:
+        priorities = g.vertices().select(
+            "id", F.xxhash64(F.col("id"), F.lit(seed)).alias("priority")
+        )
+    und = _both_dir_edges(g, dedup=True)
+    # attach both endpoint priorities once; the loop only shrinks this set
+    active = (
+        und.join(priorities.withColumnRenamed("id", "src")
+                 .withColumnRenamed("priority", "spri"), "src")
+        .join(priorities.withColumnRenamed("id", "dst")
+              .withColumnRenamed("priority", "dpri"), "dst")
+        .select("src", "dst", "spri", "dpri")
+        .repartition(shuffle_p, "src")
+        .localCheckpoint(eager=True)
+    )
+    undecided = priorities.select("id").repartition(shuffle_p, "id") \
+        .localCheckpoint(eager=True)
+    remaining = undecided.count()
+
+    mis_parts: list[DataFrame] = []
+    metrics: list[IterationMetrics] = []
+    it = 0
+    while remaining > 0 and it < max_iters:
+        it += 1
+        t0 = time.monotonic()
+        n_active_edges = active.count()
+        # vertex src is beaten iff some undecided neighbor dst precedes it
+        beaten = active.where(
+            (F.col("dpri") < F.col("spri"))
+            | ((F.col("dpri") == F.col("spri"))
+               & (F.col("dst") < F.col("src")))
+        ).select(F.col("src").alias("id")).dropDuplicates(["id"])
+        winners = undecided.join(beaten, "id", "left_anti") \
+            .localCheckpoint(eager=True)
+        n_new = winners.count()
+        if n_new == 0:  # cannot happen: the global minimum always wins
+            raise RuntimeError(
+                f"MIS round {it} made no progress with {remaining} "
+                "undecided vertices")
+        mis_parts.append(winners)
+        # winners' neighbors are excluded; winners themselves are decided
+        excluded = (
+            active.join(winners.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id")).dropDuplicates(["id"])
+        )
+        undecided = (
+            undecided.join(winners, "id", "left_anti")
+            .join(excluded, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        remaining = undecided.count()
+        # shrink the active edge set to undecided x undecided
+        active = (
+            active.join(undecided.withColumnRenamed("id", "src"),
+                        "src", "left_semi")
+            .join(undecided.withColumnRenamed("id", "dst"),
+                  "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        metrics.append(IterationMetrics(
+            iteration=it, l1_residual=float(remaining),
+            linf_residual=float(1 if remaining else 0),
+            rows_shuffled=n_active_edges, wall_s=time.monotonic() - t0,
+            extra={"new_mis": n_new, "undecided": remaining},
+        ))
+
+    mis = mis_parts[0]
+    for part in mis_parts[1:]:
+        mis = mis.unionAll(part)
+    out = g.vertices().join(
+        mis.withColumn("in_mis", F.lit(1)), "id", "left"
+    ).select("id", F.coalesce("in_mis", F.lit(0)).alias("in_mis"))
+    return IterativeResult(df=out, iterations=it, metrics=metrics)
+
+
 def color_buckets(colors: DataFrame) -> DataFrame:
     """color -> sorted vertex bucket (getGraphColoring/2/4,
     GraphColoring.hs:62-99) — groupBy + collect_list."""

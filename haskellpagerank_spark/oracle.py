@@ -291,6 +291,22 @@ def jones_plassmann(src, dst, n, priorities) -> list[int]:
     return colors
 
 
+def greedy_mis(src, dst, n, priorities) -> list[int]:
+    """Sequential greedy maximal independent set in (priority, id) order:
+    v joins iff no already-chosen neighbor. Equals the fixpoint of the
+    deterministic Luby rounds (operators.coloring.maximal_independent_set)
+    and the color-1 class of :func:`jones_plassmann` under the same
+    priorities. Returns per-vertex 1/0."""
+    pri = list(priorities)
+    adj = _both_dir_adj(np.asarray(src), np.asarray(dst), n)
+    order = sorted(range(n), key=lambda v: (pri[v], v))
+    in_mis = [0] * n
+    for v in order:
+        if not any(in_mis[u] for u in adj[v]):
+            in_mis[v] = 1
+    return in_mis
+
+
 def distance2_coloring(src, dst, n) -> list[int]:
     """graphColoring2Distance over the merged (undirected, deduped) graph:
     id order, mex over colored vertices at distance 1 or 2

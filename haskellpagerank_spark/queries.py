@@ -550,6 +550,20 @@ def _q_coloring_jp_nation(spark, sf_dir):
     return C.jones_plassmann(g, priorities=pri).df
 
 
+def _q_mis_nation(spark, sf_dir):
+    """Deterministic-Luby maximal independent set with the same LCG
+    priorities as the JP gate run; in_mis (1/0) rides the family's color
+    column. The DuckDB twin derives the identical set through the
+    MIS == JP-color-1 theorem (sql_twins.mis_sql)."""
+    g = nation_trade_graph(spark, sf_dir)
+    pri = g.vertices().select(
+        "id",
+        ((F.col("id") * F.lit(1103515245) + F.lit(12345))
+         % F.lit(2147483648)).alias("priority"))
+    return C.maximal_independent_set(g, priorities=pri).df.select(
+        "id", F.col("in_mis").cast("int").alias("color"))
+
+
 # (a cs-graph Jones–Plassmann run lives in pytest —
 # tests/test_coloring.py::test_jp_valid_on_cs_graph — rather than the driver
 # gate: its fixed point needs tens of rounds on the dense 1600-vertex graph
@@ -1514,13 +1528,15 @@ def _q_coloring_seq_nation(spark, sf_dir):
 
 def _q_coloring_parallel_nation(spark, sf_dir):
     """Parallel-semantics coloring family: Jones-Plassmann (LCG
-    priorities), distance-2, and speculative-with-conflict-repair,
+    priorities), distance-2, speculative-with-conflict-repair, and the
+    deterministic-Luby MIS (round-5 fold; in_mis rides the color column),
     union-tagged."""
     tag = lambda s, df: df.select(F.lit(s).alias("kind"), "id", "color")  # noqa: E731
     return (tag("jp", _q_coloring_jp_nation(spark, sf_dir))
             .unionByName(tag("d2", _q_coloring_d2_nation(spark, sf_dir)))
             .unionByName(tag("speculative",
-                             _q_coloring_speculative_nation(spark, sf_dir))))
+                             _q_coloring_speculative_nation(spark, sf_dir)))
+            .unionByName(tag("mis", _q_mis_nation(spark, sf_dir))))
 
 
 def _q_graph_edges_nation(spark, sf_dir):
@@ -1986,6 +2002,8 @@ _SQL: dict[str, str] = {
         NATION_EDGES_SQL, NATION_VERTS_SQL, rounds=26),
     "coloring_jp_nation": SQ.jp_coloring_sql(
         NATION_EDGES_SQL, NATION_VERTS_SQL, rounds=26),
+    "mis_nation": SQ.mis_sql(
+        NATION_EDGES_SQL, NATION_VERTS_SQL, rounds=26),
     "coloring_d2_nation": SQ.d2_coloring_sql(
         NATION_EDGES_SQL, NATION_VERTS_SQL, rounds=26),
     "coloring_speculative_nation": SQ.speculative_coloring_sql(
@@ -2336,6 +2354,7 @@ ORACLES: dict[str, str] = {
         ("jp", "id, color", _SQL["coloring_jp_nation"]),
         ("d2", "id, color", _SQL["coloring_d2_nation"]),
         ("speculative", "id, color", _SQL["coloring_speculative_nation"]),
+        ("mis", "id, CAST(in_mis AS INT) AS color", _SQL["mis_nation"]),
     ], "kind"),
     "graph_edges_nation": _tagged_union([
         ("invert", "src AS a, dst AS b, CAST(1 AS BIGINT) AS c",

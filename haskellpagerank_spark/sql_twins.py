@@ -147,6 +147,18 @@ def jp_coloring_sql(edges_sql: str, verts_sql: str, rounds: int) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, color FROM c{rounds}"
 
 
+def mis_sql(edges_sql: str, verts_sql: str, rounds: int) -> str:
+    """Maximal independent set under the LCG priorities — via the theorem
+    that the deterministic-Luby fixpoint equals the color-1 class of the
+    Jones–Plassmann coloring with the same priorities (a vertex gets color 1
+    iff no predecessor got color 1 iff no predecessor entered the greedy
+    MIS; see operators.coloring.maximal_independent_set). Returns
+    (id, in_mis 1/0)."""
+    jp = jp_coloring_sql(edges_sql, verts_sql, rounds)
+    return (f"SELECT id, CASE WHEN color = 1 THEN 1 ELSE 0 END AS in_mis "
+            f"FROM ({jp}) _jp")
+
+
 def d2_coloring_sql(edges_sql: str, verts_sql: str, rounds: int) -> str:
     """Distance-2 greedy fixed point: predecessors = lower-id vertices at
     distance <= 2 in the undirected simple graph."""

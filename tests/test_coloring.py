@@ -178,3 +178,84 @@ def test_every_strategy_proper_on_random_graphs(spark, seed):
                  .join(c.selectExpr("id as v", "color as cv"), "v")
                  .where(F.col("cu") == F.col("cv")).count())
     assert conflicts == 0
+
+
+# ------------------------------------------------------- Luby MIS (round 5)
+
+def _mis_vector(df, n):
+    got = {r["id"]: r["in_mis"] for r in df.collect()}
+    return [got[i] for i in range(n)]
+
+
+@pytest.mark.parametrize(
+    "name", ["singleEdge", "square", "doubleSquare", "hub", "complete",
+             "myFavorite", "princeton"]
+)
+def test_mis_matches_sequential_greedy_on_fixtures(spark, name):
+    """Deterministic Luby fixpoint == sequential greedy in priority order
+    (the NumPy oracle), on every bundled fixture, under hashed priorities
+    re-used identically in both."""
+    from haskellpagerank_spark import oracle
+    from haskellpagerank_spark.operators.coloring import (
+        maximal_independent_set)
+
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    pri_rows = (
+        g.vertices()
+        .select("id", F.xxhash64(F.col("id"), F.lit(7)).alias("priority"))
+        .collect())
+    pri = [0] * g.num_vertices
+    for r in pri_rows:
+        pri[r["id"]] = r["priority"]
+    pri_df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pri)], schema="id LONG, priority LONG")
+    res = maximal_independent_set(g, priorities=pri_df)
+    src = [a for a, _ in FIXTURE_EDGES[name]]
+    dst = [b for _, b in FIXTURE_EDGES[name]]
+    want = oracle.greedy_mis(src, dst, g.num_vertices, pri)
+    assert _mis_vector(res.df, g.num_vertices) == want
+
+
+@pytest.mark.parametrize("seed", [5, 17, 41])
+def test_mis_invariants_and_jp_color1_on_random_graphs(spark, seed):
+    """Randomized G(n,p): (a) the MIS is independent (no edge inside),
+    (b) maximal (every outside vertex has a MIS neighbor), (c) equals the
+    sequential greedy oracle, and (d) equals the color-1 class of
+    Jones-Plassmann under the same priorities — the theorem the DuckDB
+    gate twin (sql_twins.mis_sql) relies on."""
+    import random
+
+    from haskellpagerank_spark import oracle
+    from haskellpagerank_spark.operators.coloring import (
+        maximal_independent_set)
+
+    rng = random.Random(seed)
+    n = rng.randint(12, 26)
+    pairs = [(u, v) for u in range(n) for v in range(n)
+             if u != v and rng.random() < 0.15]
+    pairs += [(i, (i + 1) % n) for i in range(n)]
+    g = from_pairs(spark, pairs)
+    pri = [rng.randrange(1 << 20) for _ in range(n)]
+    pri_df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pri)], schema="id LONG, priority LONG")
+
+    res = maximal_independent_set(g, priorities=pri_df)
+    vec = _mis_vector(res.df, n)
+    # (a) independence + (b) maximality against the undirected adjacency
+    adj = [set() for _ in range(n)]
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    for v in range(n):
+        if vec[v]:
+            assert not any(vec[u] for u in adj[v]), f"edge inside MIS at {v}"
+        else:
+            assert any(vec[u] for u in adj[v]), f"{v} addable -> not maximal"
+    # (c) oracle parity
+    src = [a for a, b in pairs]
+    dst = [b for a, b in pairs]
+    assert vec == oracle.greedy_mis(src, dst, n, pri)
+    # (d) JP color-1 class
+    jp = jones_plassmann(g, priorities=pri_df)
+    jp_vec = _vector(jp.df, n)
+    assert vec == [1 if c == 1 else 0 for c in jp_vec]
