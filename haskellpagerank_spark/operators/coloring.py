@@ -423,6 +423,92 @@ def maximal_independent_set(
     return IterativeResult(df=out, iterations=it, metrics=metrics)
 
 
+def maximal_matching(
+    g: Graph,
+    priority_col: Column | None = None,
+    seed: int = 42,
+    max_iters: int = 10_000,
+) -> IterativeResult:
+    """Deterministic greedy maximal matching — the edge-side sibling of
+    :func:`maximal_independent_set` (locally-lowest-key selection = Luby on
+    the line graph; Israeli & Itai's classic distributed matching shape).
+    Per round every active canonical edge whose (priority, src, dst) key is
+    the minimum at BOTH endpoints enters the matching; all edges touching a
+    matched vertex retire. The globally-minimal active edge always wins, so
+    rounds <= matching size; with hashed priorities the active set shrinks
+    geometrically (expected O(log n) rounds). The fixpoint equals the
+    sequential greedy over edges in (priority, src, dst) order — the
+    NumPy-oracle and DuckDB-twin contract (sql_twins.matching_sql).
+
+    ``priority_col``: expression over columns ``src``/``dst`` of the
+    canonical (src < dst) edge; None -> xxhash64(src, dst, seed). All
+    per-round work is two semi-join shrinks + one map-side-combinable
+    struct-min agg; no Python in the loop.
+
+    Returns matched canonical edges (src, dst).
+    """
+    spark = g.spark
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if priority_col is None:
+        priority_col = F.xxhash64(F.col("src"), F.col("dst"), F.lit(seed))
+    canon = (
+        _both_dir_edges(g, dedup=True)
+        .where(F.col("src") < F.col("dst"))
+        .withColumn("pri", priority_col)
+        .withColumn("key", F.struct("pri", "src", "dst"))
+        .repartition(shuffle_p, "src")
+        .localCheckpoint(eager=True)
+    )
+    active = canon
+    n_active = active.count()
+    matched_parts: list[DataFrame] = []
+    metrics: list[IterationMetrics] = []
+    it = 0
+    while n_active > 0 and it < max_iters:
+        it += 1
+        t0 = time.monotonic()
+        inc = active.select(F.col("src").alias("vid"), "key").unionAll(
+            active.select(F.col("dst").alias("vid"), "key"))
+        best = inc.groupBy("vid").agg(F.min("key").alias("bkey"))
+        winners = (
+            active
+            .join(best.withColumnRenamed("vid", "src"), "src")
+            .where(F.col("key") == F.col("bkey")).drop("bkey")
+            .join(best.withColumnRenamed("vid", "dst"), "dst")
+            .where(F.col("key") == F.col("bkey"))
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        n_new = winners.count()
+        if n_new == 0:  # impossible: the global minimum edge always wins
+            raise RuntimeError(
+                f"matching round {it} made no progress with {n_active} "
+                "active edges")
+        matched_parts.append(winners)
+        mv = winners.select(F.col("src").alias("vid")).unionAll(
+            winners.select(F.col("dst").alias("vid"))).dropDuplicates(["vid"])
+        active = (
+            active.join(mv.withColumnRenamed("vid", "src"),
+                        "src", "left_anti")
+            .join(mv.withColumnRenamed("vid", "dst"), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        prev_active = n_active
+        n_active = active.count()
+        metrics.append(IterationMetrics(
+            iteration=it, l1_residual=float(n_active),
+            linf_residual=float(1 if n_active else 0),
+            rows_shuffled=prev_active, wall_s=time.monotonic() - t0,
+            extra={"new_matched": n_new, "active_edges": n_active},
+        ))
+    out = matched_parts[0] if matched_parts else canon.select(
+        "src", "dst").limit(0)
+    for part in matched_parts[1:]:
+        out = out.unionAll(part)
+    return IterativeResult(df=out.select("src", "dst"),
+                           iterations=it, metrics=metrics)
+
+
 def color_buckets(colors: DataFrame) -> DataFrame:
     """color -> sorted vertex bucket (getGraphColoring/2/4,
     GraphColoring.hs:62-99) — groupBy + collect_list."""

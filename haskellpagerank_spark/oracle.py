@@ -307,6 +307,27 @@ def greedy_mis(src, dst, n, priorities) -> list[int]:
     return in_mis
 
 
+def greedy_matching(src, dst, priorities) -> list[tuple[int, int]]:
+    """Sequential greedy maximal matching over canonical (u < v) edges in
+    (priority, u, v) order: an edge is taken iff both endpoints are still
+    free. Equals the fixpoint of the deterministic local-min rounds
+    (operators.coloring.maximal_matching). ``priorities``: one value per
+    canonical edge, aligned with the deduped sorted canonical edge list
+    this function derives — pass a dict {(u, v): pri} for clarity."""
+    canon = sorted({(min(a, b), max(a, b))
+                    for a, b in zip(list(src), list(dst)) if a != b})
+    pri = priorities
+    order = sorted(canon, key=lambda e: (pri[e], e[0], e[1]))
+    used: set[int] = set()
+    out: list[tuple[int, int]] = []
+    for u, v in order:
+        if u not in used and v not in used:
+            used.add(u)
+            used.add(v)
+            out.append((u, v))
+    return sorted(out)
+
+
 def distance2_coloring(src, dst, n) -> list[int]:
     """graphColoring2Distance over the merged (undirected, deduped) graph:
     id order, mex over colored vertices at distance 1 or 2

@@ -1560,8 +1560,21 @@ def _q_graph_edges_nation(spark, sf_dir):
     frq = _q_src_frequency_nation(spark, sf_dir).select(
         F.lit("src_freq").alias("kind"), F.col("src").alias("a"),
         neg.alias("b"), F.col("n").alias("c"))
+    mat = _q_matching_nation(spark, sf_dir).select(
+        F.lit("matching").alias("kind"), F.col("src").alias("a"),
+        F.col("dst").alias("b"), one.alias("c"))
     return inv.unionByName(und).unionByName(amd).unionByName(smp) \
-        .unionByName(frq)
+        .unionByName(frq).unionByName(mat)
+
+
+def _q_matching_nation(spark, sf_dir):
+    """Deterministic greedy maximal matching (round-5 fold): local-min
+    rounds with the LCG edge priority reproduced verbatim by the DuckDB
+    twin (sql_twins.matching_sql / MATCHING_PRIORITY_SQL)."""
+    g = nation_trade_graph(spark, sf_dir)
+    pri = ((F.col("src") * F.lit(1103515245) + F.col("dst") * F.lit(12345)
+            + F.lit(12345)) % F.lit(2147483648))
+    return C.maximal_matching(g, priority_col=pri).df
 
 
 def _q_degree_stats_cs(spark, sf_dir):
@@ -2004,6 +2017,10 @@ _SQL: dict[str, str] = {
         NATION_EDGES_SQL, NATION_VERTS_SQL, rounds=26),
     "mis_nation": SQ.mis_sql(
         NATION_EDGES_SQL, NATION_VERTS_SQL, rounds=26),
+    # 13 rounds >= |V|/2 = max matching size on the 25-vertex nation graph;
+    # extra rounds are no-ops at the fixpoint
+    "matching_nation": SQ.matching_sql(
+        NATION_EDGES_SQL, NATION_VERTS_SQL, rounds=13),
     "coloring_d2_nation": SQ.d2_coloring_sql(
         NATION_EDGES_SQL, NATION_VERTS_SQL, rounds=26),
     "coloring_speculative_nation": SQ.speculative_coloring_sql(
@@ -2367,6 +2384,8 @@ ORACLES: dict[str, str] = {
          _SQL["sample_edges_nation"]),
         ("src_freq", "src AS a, CAST(-1 AS BIGINT) AS b, n AS c",
          _SQL["src_frequency_nation"]),
+        ("matching", "src AS a, dst AS b, CAST(1 AS BIGINT) AS c",
+         _SQL["matching_nation"]),
     ], "kind"),
     "degree_stats_cs": _tagged_union([
         ("topk", "id AS a, deg AS b", _SQL["out_degree_topk"]),

@@ -159,6 +159,54 @@ def mis_sql(edges_sql: str, verts_sql: str, rounds: int) -> str:
             f"FROM ({jp}) _jp")
 
 
+# deterministic edge priority for the matching gate — same LCG family as
+# JP_PRIORITY_SQL, over the canonical (src < dst) endpoint pair; no overflow
+# for ids < 2^31 (src * 1103515245 < 2^61)
+MATCHING_PRIORITY_SQL = "(src * 1103515245 + dst * 12345 + 12345) % 2147483648"
+
+
+def matching_sql(edges_sql: str, verts_sql: str, rounds: int) -> str:
+    """Deterministic greedy maximal matching, mirroring the distributed
+    local-min rounds of operators.coloring.maximal_matching directly: per
+    round an active canonical edge wins iff its (pri, src, dst) key is the
+    minimum at both endpoints (DuckDB ordered-aggregate ``first(... ORDER
+    BY)``), then every edge touching a matched vertex retires. The globally
+    minimal active edge always wins, so ``rounds`` >= max matching size
+    (|V|/2) reaches the fixpoint; extra rounds are no-ops."""
+    ctes = _und_ctes(edges_sql, verts_sql)
+    ctes.append(
+        "a0 AS MATERIALIZED (SELECT src, dst, "
+        f"{MATCHING_PRIORITY_SQL} AS pri FROM und WHERE src < dst)")
+    ctes.append("m0 AS MATERIALIZED (SELECT src, dst FROM a0 WHERE FALSE)")
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"inc{i} AS (SELECT src AS vid, pri, src, dst FROM a{p} "
+            f"UNION ALL SELECT dst, pri, src, dst FROM a{p})")
+        ctes.append(
+            f"best{i} AS (SELECT vid, "
+            "first(src ORDER BY pri, src, dst) AS bs, "
+            "first(dst ORDER BY pri, src, dst) AS bd "
+            f"FROM inc{i} GROUP BY vid)")
+        ctes.append(
+            f"w{i} AS (SELECT a.src, a.dst FROM a{p} a "
+            f"JOIN best{i} b1 ON b1.vid = a.src AND b1.bs = a.src "
+            "AND b1.bd = a.dst "
+            f"JOIN best{i} b2 ON b2.vid = a.dst AND b2.bs = a.src "
+            "AND b2.bd = a.dst)")
+        ctes.append(
+            f"m{i} AS (SELECT src, dst FROM m{p} "
+            f"UNION ALL SELECT src, dst FROM w{i})")
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT a.src, a.dst, a.pri FROM a{p} a "
+            f"WHERE a.src NOT IN (SELECT src FROM w{i} "
+            f"UNION ALL SELECT dst FROM w{i}) "
+            f"AND a.dst NOT IN (SELECT src FROM w{i} "
+            f"UNION ALL SELECT dst FROM w{i}))")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT src, dst FROM m{rounds}")
+
+
 def d2_coloring_sql(edges_sql: str, verts_sql: str, rounds: int) -> str:
     """Distance-2 greedy fixed point: predecessors = lower-id vertices at
     distance <= 2 in the undirected simple graph."""

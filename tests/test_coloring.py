@@ -259,3 +259,74 @@ def test_mis_invariants_and_jp_color1_on_random_graphs(spark, seed):
     jp = jones_plassmann(g, priorities=pri_df)
     jp_vec = _vector(jp.df, n)
     assert vec == [1 if c == 1 else 0 for c in jp_vec]
+
+
+# ------------------------------------------- greedy maximal matching (r5)
+
+def _matched_pairs(df):
+    return sorted((r["src"], r["dst"]) for r in df.collect())
+
+
+def _lcg_edge_pri(u, v):
+    return (u * 1103515245 + v * 12345 + 12345) % 2147483648
+
+
+@pytest.mark.parametrize(
+    "name", ["singleEdge", "square", "doubleSquare", "hub", "complete",
+             "myFavorite", "princeton"]
+)
+def test_matching_matches_sequential_greedy_on_fixtures(spark, name):
+    """Local-min-rounds fixpoint == sequential greedy over canonical edges
+    in (priority, src, dst) order (the NumPy oracle), on every bundled
+    fixture, under the gate's LCG edge priority."""
+    from haskellpagerank_spark import oracle
+    from haskellpagerank_spark.operators.coloring import maximal_matching
+
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    pri_col = ((F.col("src") * F.lit(1103515245) + F.col("dst") * F.lit(12345)
+                + F.lit(12345)) % F.lit(2147483648))
+    res = maximal_matching(g, priority_col=pri_col)
+    src = [a for a, _ in FIXTURE_EDGES[name]]
+    dst = [b for _, b in FIXTURE_EDGES[name]]
+    canon = sorted({(min(a, b), max(a, b))
+                    for a, b in zip(src, dst) if a != b})
+    pri = {(u, v): _lcg_edge_pri(u, v) for u, v in canon}
+    assert _matched_pairs(res.df) == oracle.greedy_matching(src, dst, pri)
+
+
+@pytest.mark.parametrize("seed", [5, 17, 41])
+def test_matching_invariants_on_random_graphs(spark, seed):
+    """Randomized G(n,p): (a) matched edges are vertex-disjoint, (b) the
+    matching is maximal (every unmatched canonical edge touches a matched
+    vertex), (c) equals the sequential greedy oracle under the same
+    priorities."""
+    import random
+
+    from haskellpagerank_spark import oracle
+    from haskellpagerank_spark.operators.coloring import maximal_matching
+
+    rng = random.Random(seed)
+    n = rng.randint(12, 26)
+    pairs = [(u, v) for u in range(n) for v in range(n)
+             if u != v and rng.random() < 0.15]
+    pairs += [(i, (i + 1) % n) for i in range(n)]
+    g = from_pairs(spark, pairs)
+    pri_col = ((F.col("src") * F.lit(1103515245) + F.col("dst") * F.lit(12345)
+                + F.lit(12345)) % F.lit(2147483648))
+    res = maximal_matching(g, priority_col=pri_col)
+    matched = _matched_pairs(res.df)
+    # (a) vertex-disjoint
+    used = [v for e in matched for v in e]
+    assert len(used) == len(set(used)), "matched edges share a vertex"
+    # (b) maximality over the canonical undirected simple graph
+    canon = sorted({(min(a, b), max(a, b))
+                    for a, b in pairs if a != b})
+    used_set = set(used)
+    for u, v in canon:
+        if u not in used_set and v not in used_set:
+            raise AssertionError(f"edge ({u},{v}) addable -> not maximal")
+    # (c) oracle parity
+    src = [a for a, b in pairs]
+    dst = [b for a, b in pairs]
+    pri = {(u, v): _lcg_edge_pri(u, v) for u, v in canon}
+    assert matched == oracle.greedy_matching(src, dst, pri)
