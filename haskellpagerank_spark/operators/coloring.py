@@ -443,7 +443,10 @@ def maximal_matching(
     ``priority_col``: expression over columns ``src``/``dst`` of the
     canonical (src < dst) edge; None -> xxhash64(src, dst, seed). All
     per-round work is two semi-join shrinks + one map-side-combinable
-    struct-min agg; no Python in the loop.
+    struct-min agg; no Python in the loop. (The lexicographic struct min
+    plans as SortAggregate — partial agg still bounds the shuffle at |V|
+    rows; see explain_audit.py §24 for why this beats the staged
+    all-scalar-hash alternative.)
 
     Returns matched canonical edges (src, dst).
     """

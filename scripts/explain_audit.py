@@ -484,6 +484,38 @@ def main() -> int:
         must_not=["BatchEvalPython", "ArrowEvalPython", "Sort"],
     )
 
+    # 24. maximal-matching round body: incidence union -> two-phase struct
+    #     min per vertex, then two equi-joins back to the active edges.
+    #     min over a STRUCT (lexicographic (pri, src, dst)) is not
+    #     hash-aggregable in Spark, so the planner picks SortAggregate —
+    #     the assertion checks partial_min + Exchange instead: map-side
+    #     combine is still present, so the shuffle is bounded at |V| rows
+    #     (not 2|E|); the per-partition sort is CPU over the active
+    #     incidence, which shrinks geometrically per round. The staged
+    #     all-scalar alternative (hash min(pri), join, struct tie-break on
+    #     the pri-minimal subset) would add a full extra 2|E| join +
+    #     shuffle per round to save that sort — shuffle volume dominates
+    #     at scale, so one SortAggregate pass is the right plan.
+    inc = g.edges.where(F.col("src") < F.col("dst")).withColumn(
+        "key", F.struct(F.xxhash64("src", "dst").alias("pri"), "src", "dst"))
+    both = inc.select(F.col("src").alias("vid"), "key").unionAll(
+        inc.select(F.col("dst").alias("vid"), "key"))
+    best = both.groupBy("vid").agg(F.min("key").alias("bkey"))
+    winners = (
+        inc.join(best.withColumnRenamed("vid", "src"), "src")
+        .where(F.col("key") == F.col("bkey")).drop("bkey")
+        .join(best.withColumnRenamed("vid", "dst"), "dst")
+        .where(F.col("key") == F.col("bkey"))
+        .select("src", "dst")
+    )
+    audit(
+        "maximal-matching round — two-phase struct-min + equi-joins",
+        winners,
+        must=["partial_min", "Exchange"],
+        must_not=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                  "BroadcastNestedLoopJoin"],
+    )
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

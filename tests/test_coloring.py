@@ -330,3 +330,27 @@ def test_matching_invariants_on_random_graphs(spark, seed):
     dst = [b for a, b in pairs]
     pri = {(u, v): _lcg_edge_pri(u, v) for u, v in canon}
     assert matched == oracle.greedy_matching(src, dst, pri)
+
+
+def test_matching_self_loops_only_is_empty(spark):
+    """A graph whose only edges are self-loops has no canonical (u < v)
+    edge: zero rounds, empty matching, stable (src, dst) schema."""
+    from haskellpagerank_spark.operators.coloring import maximal_matching
+
+    g = from_pairs(spark, [(0, 0), (1, 1), (2, 2)])
+    res = maximal_matching(g)
+    assert res.iterations == 0
+    assert res.df.columns == ["src", "dst"]
+    assert res.df.count() == 0
+
+
+def test_matching_star_is_single_edge(spark):
+    """On a star every edge shares the hub, so exactly one edge (the
+    minimum-priority one) survives, in one round."""
+    from haskellpagerank_spark.operators.coloring import maximal_matching
+
+    g = from_pairs(spark, [(0, i) for i in range(1, 8)])
+    res = maximal_matching(g)
+    assert res.iterations == 1
+    rows = res.df.collect()
+    assert len(rows) == 1 and rows[0]["src"] == 0
