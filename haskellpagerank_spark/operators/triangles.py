@@ -152,3 +152,38 @@ def triangles_per_vertex(g: Graph) -> DataFrame:
         .join(per, "id", "left")
         .select("id", F.coalesce("n", F.lit(0)).alias("n_triangles"))
     )
+
+
+def sampled_triangle_count(
+    g: Graph, keep_num: int = 2, keep_den: int = 5, seed: int = 12345
+) -> DataFrame:
+    """DOULION edge-sampled triangle estimate (Tsourakakis, Kang, Miller,
+    Faloutsos — KDD'09): keep each canonical undirected edge independently
+    with probability p = keep_num/keep_den, count triangles of the sampled
+    subgraph with the exact degree-oriented kernel, scale by 1/p^3 (a
+    triangle survives iff all three of its edges were kept). At web scale
+    the wedge join runs over ~p*|E| edges — the 2-hop fan-out (the
+    quadratic-in-degree term) shrinks by p^2.
+
+    The sample is DETERMINISTIC: an LCG over the canonical (src, dst) pair
+    — the same hash family as sql_twins.MATCHING_PRIORITY_SQL — decides
+    membership, so the DuckDB gate twin reproduces the exact sampled
+    count; ``seed`` is the LCG additive constant.
+
+    Returns one row (n_sampled long, n_triangles_est double); n_sampled is
+    the exact triangle count of the sampled subgraph (the gate-checked
+    value), n_triangles_est = n_sampled / p^3 the unbiased estimator.
+    """
+    if not 0 < keep_num <= keep_den:
+        raise ValueError(f"need 0 < keep_num <= keep_den, got "
+                         f"{keep_num}/{keep_den}")
+    canon = undirected_simple_edges(g).where(F.col("src") < F.col("dst"))
+    lcg = (F.col("src") * F.lit(1103515245) + F.col("dst") * F.lit(12345)
+           + F.lit(seed)) % F.lit(2147483648)
+    kept = canon.where(lcg % F.lit(keep_den) < F.lit(keep_num))
+    raw = triangle_count(g.with_edges(kept))
+    p = keep_num / keep_den
+    return raw.select(
+        F.col("n_triangles").alias("n_sampled"),
+        (F.col("n_triangles") / F.lit(p ** 3)).alias("n_triangles_est"),
+    )

@@ -368,6 +368,21 @@ FROM canon e1 JOIN canon e2 ON e1.dst = e2.src
 JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst
 """
 
+# DOULION sampled-subgraph triangle count — the LCG keep-predicate is the
+# exact mirror of operators.triangles.sampled_triangle_count(2/5, seed
+# 12345); the twin checks the raw sampled count (an exact integer)
+TRIANGLES_SAMPLED_NATION_SQL = f"""
+WITH e0 AS ({NATION_EDGES_SQL}),
+und AS (SELECT DISTINCT src, dst FROM
+        (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+canon AS (SELECT src, dst FROM und WHERE src < dst
+          AND ((src * 1103515245 + dst * 12345 + 12345) % 2147483648)
+              % 5 < 2)
+SELECT COUNT(*) AS n_triangles
+FROM canon e1 JOIN canon e2 ON e1.dst = e2.src
+JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst
+"""
+
 
 # -------------------------------------------------------------- the queries
 
@@ -1405,7 +1420,12 @@ def _q_triangles_nation_all(spark, sf_dir):
     inc = _q_triangles_incremental_nation(spark, sf_dir).select(
         F.lit("incremental").alias("kind"),
         F.lit(-1).cast("long").alias("id"), "n_triangles")
-    return per.unionByName(tot).unionByName(inc)
+    from .operators.triangles import sampled_triangle_count
+    smp = sampled_triangle_count(
+        nation_trade_graph(spark, sf_dir), keep_num=2, keep_den=5).select(
+        F.lit("sampled").alias("kind"), F.lit(-1).cast("long").alias("id"),
+        F.col("n_sampled").alias("n_triangles"))
+    return per.unionByName(tot).unionByName(inc).unionByName(smp)
 
 
 def _q_scc_nation_strategies(spark, sf_dir):
@@ -1829,6 +1849,7 @@ _SQL: dict[str, str] = {
     "lp_nation_5": lp_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, 5),
     "lp_cs_3": lp_sql(CS_EDGES_SQL, CS_VERTS_SQL, 3),
     "triangle_count_nation": TRIANGLES_NATION_SQL,
+    "triangles_sampled_nation": TRIANGLES_SAMPLED_NATION_SQL,
     # the incremental count totals to the same full-graph value
     "triangles_incremental_nation": TRIANGLES_NATION_SQL,
     "token_stats": f"""
@@ -2303,6 +2324,8 @@ ORACLES: dict[str, str] = {
          _SQL["triangle_count_nation"]),
         ("incremental", "CAST(-1 AS BIGINT) AS id, n_triangles",
          _SQL["triangle_count_nation"]),
+        ("sampled", "CAST(-1 AS BIGINT) AS id, n_triangles",
+         _SQL["triangles_sampled_nation"]),
     ], "kind"),
     # ---- structure / centrality
     "scc_nation_strategies": _tagged_union([

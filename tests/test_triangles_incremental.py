@@ -77,3 +77,65 @@ def test_incremental_hub_closure(spark):
     assert prev == 0
     delta = spark.createDataFrame([(0, 7)], "src long, dst long")
     assert _count(triangle_count_incremental(g_old, delta, prev)) == 2
+
+
+# --------------------------------------- DOULION sampled count (round 5)
+
+def _lcg_keep(u, v, den, num, seed=12345):
+    lo, hi = min(u, v), max(u, v)
+    return ((lo * 1103515245 + hi * 12345 + seed) % 2147483648) % den < num
+
+
+def _brute_sampled_count(pairs, den, num):
+    canon = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    kept = [(u, v) for u, v in canon if _lcg_keep(u, v, den, num)]
+    adj = {}
+    for u, v in kept:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    cnt = 0
+    for u, v in kept:
+        cnt += len(adj[u] & adj[v])
+    return cnt // 3
+
+
+@pytest.mark.parametrize("name", ["complete", "doubleSquare", "myFavorite",
+                                  "princeton"])
+def test_sampled_count_matches_brute_force(spark, name):
+    """The deterministic LCG sample is bit-reproducible: the raw sampled
+    count equals a pure-Python recount of the same kept-edge subgraph, and
+    the estimator is exactly raw / p^3."""
+    from haskellpagerank_spark.operators.triangles import (
+        sampled_triangle_count)
+
+    pairs = FIXTURE_EDGES[name]
+    g = from_pairs(spark, pairs)
+    row = sampled_triangle_count(g, keep_num=2, keep_den=5).first()
+    want = _brute_sampled_count(pairs, 5, 2)
+    assert row["n_sampled"] == want
+    assert row["n_triangles_est"] == pytest.approx(want / (0.4 ** 3))
+
+
+def test_sampled_count_p1_is_exact(spark):
+    """keep_num == keep_den keeps every edge: the 'estimate' is the exact
+    count (DOULION with p=1 degenerates to the exact kernel)."""
+    from haskellpagerank_spark.operators.triangles import (
+        sampled_triangle_count)
+
+    pairs = FIXTURE_EDGES["complete"]
+    g = from_pairs(spark, pairs)
+    exact = _count(triangle_count(g))
+    row = sampled_triangle_count(g, keep_num=7, keep_den=7).first()
+    assert row["n_sampled"] == exact
+    assert row["n_triangles_est"] == pytest.approx(float(exact))
+
+
+def test_sampled_count_rejects_bad_rate(spark):
+    from haskellpagerank_spark.operators.triangles import (
+        sampled_triangle_count)
+
+    g = from_pairs(spark, FIXTURE_EDGES["complete"])
+    with pytest.raises(ValueError):
+        sampled_triangle_count(g, keep_num=0, keep_den=5)
+    with pytest.raises(ValueError):
+        sampled_triangle_count(g, keep_num=6, keep_den=5)
