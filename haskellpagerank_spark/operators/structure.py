@@ -940,6 +940,107 @@ def k_truss(g: Graph, k: int, max_rounds: int = 1000) -> StructureResult:
     return StructureResult(df=out, iterations=rounds, metrics=metrics)
 
 
+def trussness(g: Graph, max_rounds: int = 1000) -> StructureResult:
+    """Full truss decomposition: every canonical edge's truss number
+    (k-truss convention: ``trussness(e) = max k such that e is in the
+    k-truss``; triangle-free edges get 2), via the EDGE h-index fixpoint —
+    the edge-side analogue of :func:`coreness` (Sariyuce, Seshadhri, Pinar
+    — "Local algorithms for hierarchical dense subgraph discovery",
+    WWW'18 / PVLDB 12(1): nucleus decomposition by h-index iteration).
+
+    Start t(e) = support(e) (triangles through e); per round replace t(e)
+    with min(t(e), h-index over {min(t(e1), t(e2)) : (e, e1, e2) a
+    triangle}). The sequence is monotone non-increasing and converges
+    exactly to trussness-2 — no global peel order, so the whole
+    decomposition is joins + aggs. The triangle-edge incidence (3 rows per
+    triangle, degree-oriented enumeration so hubs never fan out) is
+    materialized ONCE and reused every round; per round: two incidence
+    equi-joins + a histogram window (suffix-count h-index, same hub-safe
+    shape as coreness — <= distinct-t rows per edge in any window task).
+
+    Generalizes :func:`k_truss` (fixed-k membership): the k-truss equals
+    the edges with trussness >= k (asserted in pytest).
+
+    Returns (src, dst, trussness) over canonical (src < dst) simple edges.
+    """
+    from pyspark.sql.window import Window
+    spark = g.spark
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    canon = (
+        undirected_simple_edges(g)
+        .where(F.col("src") < F.col("dst"))
+        .repartition(shuffle_p, "src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    from .triangles import triangles as _triangles
+    tri = _triangles(g).select(
+        F.least("a", "b").alias("x1"), F.greatest("a", "b").alias("y1"),
+        F.least("b", "c").alias("x2"), F.greatest("b", "c").alias("y2"),
+        F.least("a", "c").alias("x3"), F.greatest("a", "c").alias("y3"))
+    # incidence: (src, dst) edge + its two triangle partners, 3 rows/triangle
+    def _rot(e, o1, o2):
+        return tri.select(
+            F.col(f"x{e}").alias("src"), F.col(f"y{e}").alias("dst"),
+            F.col(f"x{o1}").alias("o1s"), F.col(f"y{o1}").alias("o1d"),
+            F.col(f"x{o2}").alias("o2s"), F.col(f"y{o2}").alias("o2d"))
+    inc = (_rot(1, 2, 3).unionAll(_rot(2, 1, 3)).unionAll(_rot(3, 1, 2))
+           .repartition(shuffle_p, "src", "dst")
+           .localCheckpoint(eager=True))
+    n_inc = inc.count()
+    sup = inc.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("t"))
+    labels = (canon.join(sup, ["src", "dst"], "left")
+              .select("src", "dst", F.coalesce("t", F.lit(0)).alias("t"))
+              .localCheckpoint(eager=True))
+    wcum = (Window.partitionBy("src", "dst").orderBy(F.col("m").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    metrics: list[IterationMetrics] = []
+    rounds = 0
+    converged = False
+    while rounds < max_rounds:
+        rounds += 1
+        t0 = time.monotonic()
+        m = (
+            inc.join(labels.select(F.col("src").alias("o1s"),
+                                   F.col("dst").alias("o1d"),
+                                   F.col("t").alias("t1")), ["o1s", "o1d"])
+            .join(labels.select(F.col("src").alias("o2s"),
+                                F.col("dst").alias("o2d"),
+                                F.col("t").alias("t2")), ["o2s", "o2d"])
+            .select("src", "dst", F.least("t1", "t2").alias("m"))
+        )
+        hist = m.groupBy("src", "dst", "m").agg(
+            F.count(F.lit(1)).alias("cnt"))
+        h = (hist.withColumn("cum", F.sum("cnt").over(wcum))
+             .groupBy("src", "dst")
+             .agg(F.max(F.least(F.col("m"), F.col("cum"))).alias("h")))
+        new_labels = (
+            labels.join(h, ["src", "dst"], "left")
+            .select("src", "dst",
+                    F.least(F.col("t"),
+                            F.coalesce("h", F.lit(0))).alias("t"),
+                    (F.coalesce("h", F.lit(0)) < F.col("t"))
+                    .alias("_changed"))
+            .localCheckpoint(eager=True)
+        )
+        n_changed = new_labels.where("_changed").count()
+        labels = new_labels.select("src", "dst", "t")
+        metrics.append(IterationMetrics(
+            iteration=rounds, l1_residual=float(n_changed),
+            linf_residual=float(1 if n_changed else 0),
+            rows_shuffled=n_inc, wall_s=time.monotonic() - t0,
+            extra={"changed": n_changed}))
+        if n_changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"trussness h-index fixpoint not reached in {max_rounds} rounds")
+    return StructureResult(
+        df=labels.select("src", "dst",
+                         (F.col("t") + F.lit(2)).alias("trussness")),
+        iterations=rounds, metrics=metrics)
+
+
 # --------------------------------------------- modularity & assortativity
 
 def modularity(g: Graph, labels: DataFrame,

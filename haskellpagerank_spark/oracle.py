@@ -380,6 +380,45 @@ def triangle_count(src, dst, n) -> int:
     return count
 
 
+def trussness(src, dst) -> dict[tuple[int, int], int]:
+    """Exact truss decomposition by the sequential min-support peel
+    (Cohen 2008 / Wang & Cheng PVLDB'12): process edges in increasing
+    current-support order, trussness = running-max support + 2; removing
+    an edge decrements the support of the other two edges of each of its
+    triangles. Ground truth for the distributed edge h-index fixpoint
+    (operators.structure.trussness)."""
+    import heapq
+
+    canon = sorted({(min(a, b), max(a, b))
+                    for a, b in zip(list(src), list(dst)) if a != b})
+    adj: dict[int, set[int]] = {}
+    for u, v in canon:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    sup = {(u, v): len(adj[u] & adj[v]) for u, v in canon}
+    heap = [(s, e) for e, s in sup.items()]
+    heapq.heapify(heap)
+    alive = set(canon)
+    out: dict[tuple[int, int], int] = {}
+    kmax = 0
+    while heap:
+        s, e = heapq.heappop(heap)
+        if e not in alive or s != sup[e]:
+            continue  # stale heap entry
+        kmax = max(kmax, s)
+        out[e] = kmax + 2
+        alive.discard(e)
+        u, v = e
+        for w in adj[u] & adj[v]:
+            for f in ((min(u, w), max(u, w)), (min(v, w), max(v, w))):
+                if f in alive:
+                    sup[f] -= 1
+                    heapq.heappush(heap, (sup[f], f))
+        adj[u].discard(v)
+        adj[v].discard(u)
+    return out
+
+
 def label_propagation(src, dst, n, num_iters=5) -> list[int]:
     """Synchronous LP over the undirected simple graph, deterministic:
     new label = most frequent neighbor label, ties -> smallest label;

@@ -963,11 +963,20 @@ def _q_betweenness_nation(spark, sf_dir):
 
 
 def _q_ktruss_nation(spark, sf_dir):
-    """6-truss of the undirected nation graph: edge peel to the maximal
-    subgraph where every edge closes >= 4 triangles
-    (structure.k_truss)."""
-    from .operators.structure import k_truss
-    return k_truss(nation_trade_graph(spark, sf_dir), k=6).df
+    """Truss family, union-tagged as (kind, src, dst, v): the 6-truss
+    membership with within-truss support (edge peel, structure.k_truss)
+    plus the FULL truss decomposition via the edge h-index fixpoint
+    (structure.trussness; round-5 fold, unrolled twin
+    sql_twins.trussness_sql)."""
+    from .operators.structure import k_truss, trussness
+    g = nation_trade_graph(spark, sf_dir)
+    kt = k_truss(g, k=6).df.select(
+        F.lit("ktruss6").alias("kind"), "src", "dst",
+        F.col("support").cast("long").alias("v"))
+    tr = trussness(g).df.select(
+        F.lit("trussness").alias("kind"), "src", "dst",
+        F.col("trussness").cast("long").alias("v"))
+    return kt.unionByName(tr)
 
 
 def _q_closeness_nation(spark, sf_dir):
@@ -2165,6 +2174,9 @@ _SQL: dict[str, str] = {
     # measured peel depth at sf0.01 is 3 rounds; 8 gives slack (extra
     # rounds are no-ops at the fixpoint)
     "ktruss_nation": SQ.k_truss_sql(NATION_EDGES_SQL, k=6, rounds=8),
+    # 12 rounds covers the h-index convergence depth on the nation graph
+    # (max support there is small; extra rounds are fixpoint no-ops)
+    "trussness_nation": SQ.trussness_sql(NATION_EDGES_SQL, rounds=12),
     "modularity_nation": SQ.modularity_sql(
         NATION_EDGES_SQL, lp_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, 5)),
     "assortativity_nation": SQ.assortativity_sql(NATION_EDGES_SQL),
@@ -2338,7 +2350,12 @@ ORACLES: dict[str, str] = {
          _SQL["coreness_nation"]),
         ("kcore6", "id, CAST(deg AS BIGINT) AS v", _SQL["kcore_nation"]),
     ], "kind"),
-    "ktruss_nation": _SQL["ktruss_nation"],
+    "ktruss_nation": _tagged_union([
+        ("ktruss6", "src, dst, CAST(support AS BIGINT) AS v",
+         _SQL["ktruss_nation"]),
+        ("trussness", "src, dst, CAST(trussness AS BIGINT) AS v",
+         _SQL["trussness_nation"]),
+    ], "kind"),
     "clustering_nation": _SQL["clustering_nation"],
     "pair_scores_nation": _tagged_union([
         ("cocitation", "a, b, common, 0.0 AS score",

@@ -875,6 +875,53 @@ def k_truss_sql(edges_sql: str, k: int, rounds: int) -> str:
             f"WHERE support >= {k - 2}")
 
 
+def trussness_sql(edges_sql: str, rounds: int) -> str:
+    """Unrolled edge h-index fixpoint for the full truss decomposition,
+    mirroring operators.structure.trussness: triangle-edge incidence
+    materialized once (id-oriented enumeration — same count as the
+    degree-oriented Spark path), t0 = support, per round t(e) := min(t(e),
+    h-index over min(t(e1), t(e2)) of e's triangles). ``rounds`` must
+    cover the convergence depth (extra rounds are no-ops at the fixpoint;
+    each non-converged round decreases some t by >= 1, so max-support
+    rounds always suffice). Triangle-free edges report trussness 2."""
+    ctes = [
+        f"e0raw AS MATERIALIZED (SELECT src, dst FROM ({edges_sql}) "
+        "WHERE src <> dst)",
+        "canon AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS src, "
+        "GREATEST(src, dst) AS dst FROM e0raw)",
+        "tri AS MATERIALIZED (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c "
+        "FROM canon e1 JOIN canon e2 ON e1.dst = e2.src "
+        "JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst)",
+        "inc AS MATERIALIZED ("
+        "SELECT a AS s, b AS d, b AS o1s, c AS o1d, a AS o2s, c AS o2d "
+        "FROM tri UNION ALL "
+        "SELECT b, c, a, b, a, c FROM tri UNION ALL "
+        "SELECT a, c, a, b, b, c FROM tri)",
+        "t0 AS MATERIALIZED (SELECT c.src AS s, c.dst AS d, "
+        "COUNT(i.s) AS t FROM canon c LEFT JOIN inc i "
+        "ON i.s = c.src AND i.d = c.dst GROUP BY 1, 2)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes += [
+            f"m{i} AS (SELECT i.s, i.d, LEAST(t1.t, t2.t) AS m "
+            f"FROM inc i JOIN t{p} t1 ON t1.s = i.o1s AND t1.d = i.o1d "
+            f"JOIN t{p} t2 ON t2.s = i.o2s AND t2.d = i.o2d)",
+            f"h{i} AS (SELECT s, d, MAX(LEAST(m, cum)) AS h FROM ("
+            f"SELECT s, d, m, SUM(cnt) OVER (PARTITION BY s, d "
+            "ORDER BY m DESC ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS cum FROM ("
+            f"SELECT s, d, m, COUNT(*) AS cnt FROM m{i} GROUP BY 1, 2, 3"
+            ")) GROUP BY 1, 2)",
+            f"t{i} AS MATERIALIZED (SELECT t.s, t.d, "
+            f"LEAST(t.t, COALESCE(h.h, 0)) AS t FROM t{p} t "
+            f"LEFT JOIN h{i} h ON h.s = t.s AND h.d = t.d)",
+        ]
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT s AS src, d AS dst, t + 2 AS trussness "
+            f"FROM t{rounds}")
+
+
 def modularity_sql(edges_sql: str, labels_sql: str,
                    round_to: int = 8) -> str:
     """Per-community modularity terms over the undirected simple graph;

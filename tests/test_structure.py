@@ -569,3 +569,65 @@ def test_simrank_pair_budget_raises(spark):
     g = from_pairs(spark, FIXTURE_EDGES["complete"])
     with pytest.raises(RuntimeError, match="max_pairs"):
         simrank(g, iters=1, max_pairs=3)
+
+
+# ------------------------------------- full truss decomposition (round 5)
+
+@pytest.mark.parametrize("name", ["complete", "doubleSquare", "myFavorite",
+                                  "princeton"])
+def test_trussness_matches_peel_oracle_on_fixtures(spark, name):
+    """Edge h-index fixpoint == sequential min-support peel on fixtures."""
+    from haskellpagerank_spark.operators.structure import trussness
+
+    src, dst, n = _arrays(name)
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    got = {(r["src"], r["dst"]): r["trussness"]
+           for r in trussness(g).df.collect()}
+    assert got == oracle.trussness(src, dst)
+
+
+def test_trussness_refines_k_truss_and_pendant(spark):
+    """trussness >= k is exactly the k-truss edge set; triangle-free
+    (pendant) edges report 2. K4 + pendant triangle + dangling edge."""
+    from haskellpagerank_spark.operators.structure import k_truss, trussness
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    pairs = k4 + [(3, 4), (4, 5), (3, 5), (5, 6)]
+    g = from_pairs(spark, pairs)
+    tau = {(r["src"], r["dst"]): r["trussness"]
+           for r in trussness(g).df.collect()}
+    assert tau[(5, 6)] == 2  # dangling edge: no triangle
+    for e in k4:
+        assert tau[e] == 4
+    for e in [(3, 4), (4, 5), (3, 5)]:
+        assert tau[e] == 3
+    for k in (3, 4):
+        in_truss = {(r["src"], r["dst"])
+                    for r in k_truss(g, k=k).df.collect()}
+        assert in_truss == {e for e, t in tau.items() if t >= k}
+
+
+@pytest.mark.parametrize("seed", [3, 23])
+def test_trussness_random_graphs(spark, seed):
+    """Randomized G(n,p): fixpoint == peel oracle, and the k-truss
+    consistency holds for every realized k."""
+    import random
+
+    from haskellpagerank_spark.operators.structure import k_truss, trussness
+
+    rng = random.Random(seed)
+    n = rng.randint(8, 16)
+    pairs = [(u, v) for u in range(n) for v in range(u + 1, n)
+             if rng.random() < 0.4]
+    if not pairs:
+        pytest.skip("empty graph")
+    g = from_pairs(spark, pairs)
+    tau = {(r["src"], r["dst"]): r["trussness"]
+           for r in trussness(g).df.collect()}
+    src = [a for a, _ in pairs]
+    dst = [b for _, b in pairs]
+    assert tau == oracle.trussness(src, dst)
+    kmax = max(tau.values())
+    in_truss = {(r["src"], r["dst"])
+                for r in k_truss(g, k=kmax).df.collect()}
+    assert in_truss == {e for e, t in tau.items() if t >= kmax}
