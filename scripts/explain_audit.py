@@ -484,6 +484,38 @@ def main() -> int:
         must_not=["BatchEvalPython", "ArrowEvalPython", "Sort"],
     )
 
+    # 23b. trussness round body: two (src, dst)-keyed incidence equi-joins
+    #      + the SAME hub-safe histogram-window h-index as coreness, on
+    #      edge keys — hash aggs + codegen, no Python, no cartesian
+    from haskellpagerank_spark.operators.graph import (
+        undirected_simple_edges as _use)
+    tcanon = _use(ng).where(F.col("src") < F.col("dst"))
+    tlab = tcanon.withColumn("t", F.lit(1))
+    tinc = tcanon.select(
+        "src", "dst", F.col("src").alias("o1s"), F.col("dst").alias("o1d"),
+        F.col("src").alias("o2s"), F.col("dst").alias("o2d"))
+    tm = (tinc.join(tlab.select(F.col("src").alias("o1s"),
+                                F.col("dst").alias("o1d"),
+                                F.col("t").alias("t1")), ["o1s", "o1d"])
+          .join(tlab.select(F.col("src").alias("o2s"),
+                            F.col("dst").alias("o2d"),
+                            F.col("t").alias("t2")), ["o2s", "o2d"])
+          .select("src", "dst", F.least("t1", "t2").alias("m")))
+    thist = tm.groupBy("src", "dst", "m").agg(F.count(F.lit(1)).alias("cnt"))
+    th = (thist.withColumn(
+            "cum", F.sum("cnt").over(
+                _W.partitionBy("src", "dst").orderBy(F.col("m").desc())
+                .rowsBetween(_W.unboundedPreceding, _W.currentRow)))
+          .groupBy("src", "dst")
+          .agg(F.max(F.least(F.col("m"), F.col("cum"))).alias("h")))
+    audit(
+        "trussness round — edge-keyed histogram h-index (coreness shape)",
+        th,
+        must=["HashAggregate", "WholeStageCodegen", "Window"],
+        must_not=["BatchEvalPython", "CartesianProduct",
+                  "BroadcastNestedLoopJoin"],
+    )
+
     # 24. maximal-matching round body: incidence union -> two-phase struct
     #     min per vertex, then two equi-joins back to the active edges.
     #     min over a STRUCT (lexicographic (pri, src, dst)) is not
