@@ -460,6 +460,26 @@ def main() -> None:
     cpu["pages_coreness_hindex"] = round(max(0.0, _tree_cpu_seconds() - cpu0), 1)
     extra["coreness_rounds"] = cres.iterations
 
+    # -- full truss decomposition on the pages graph (round 5): auto tier
+    #    (COST pick at this |E| is the driver-local min-support heap peel)
+    #    plus the distributed edge h-index fixpoint, single-shot like
+    #    coreness_hindex (13 full-incidence rounds ~44s — doubling it would
+    #    dominate bench wall; load_factor covers the interpretation)
+    from haskellpagerank_spark.operators.structure import (trussness,
+                                                           trussness_auto)
+    tres = _bench("pages_trussness",
+                  lambda: _ret_consume(trussness_auto(pg), "df"))
+    extra["trussness_strategy"] = tres.metrics[0].extra.get(
+        "strategy", "distributed") if tres.metrics else "distributed"
+    t0 = time.monotonic()
+    cpu0 = _tree_cpu_seconds()
+    tres = trussness(pg)
+    _consume(tres.df)
+    queries["pages_trussness_hindex"] = round(time.monotonic() - t0, 3)
+    cpu["pages_trussness_hindex"] = round(
+        max(0.0, _tree_cpu_seconds() - cpu0), 1)
+    extra["trussness_rounds"] = tres.iterations
+
     # -- bigger-scale skew point: ~10M edges, 10 mega-hubs holding ~20% of
     #    all in-edges (~200k each) — far past the salting threshold, so this
     #    exercises hub salting in build_csr_blocks and AQE skew handling for

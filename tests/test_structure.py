@@ -631,3 +631,22 @@ def test_trussness_random_graphs(spark, seed):
     in_truss = {(r["src"], r["dst"])
                 for r in k_truss(g, k=kmax).df.collect()}
     assert in_truss == {e for e, t in tau.items() if t >= kmax}
+
+
+@pytest.mark.parametrize("name", ["complete", "myFavorite", "princeton"])
+def test_trussness_local_and_auto_match_distributed(spark, name):
+    """COST tiers: local peel == auto dispatch == distributed fixpoint."""
+    from haskellpagerank_spark.operators.structure import (
+        trussness, trussness_auto, trussness_local)
+
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    want = {(r["src"], r["dst"]): r["trussness"]
+            for r in trussness(g).df.collect()}
+    loc = {(r["src"], r["dst"]): r["trussness"]
+           for r in trussness_local(g).df.collect()}
+    auto = trussness_auto(g)
+    got_auto = {(r["src"], r["dst"]): r["trussness"]
+                for r in auto.df.collect()}
+    assert loc == want
+    assert got_auto == want
+    assert auto.metrics[0].extra.get("strategy") == "local"
