@@ -58,3 +58,47 @@ def test_trussness_sql_twin_matches_peel_oracle(seed):
         SQ.trussness_sql(edges_sql, rounds=n)).fetchall()}
     want = oracle.trussness([a for a, _ in pairs], [b for _, b in pairs])
     assert got == want
+
+
+@pytest.mark.parametrize("seed", range(8, 14))
+def test_mis_sql_twin_matches_greedy_oracle(seed):
+    """mis_sql's JP-color-1 derivation equals the sequential greedy MIS
+    under the same LCG vertex priorities, on random graphs."""
+    n, pairs = _random_pairs(seed)
+    edges_sql = _values_sql(pairs)
+    verts_sql = f"SELECT CAST(UNNEST(range(0, {n})) AS BIGINT) AS id"
+    got = [r[1] for r in sorted(duckdb.sql(
+        SQ.mis_sql(edges_sql, verts_sql, rounds=n + 1)).fetchall())]
+    pri = [(v * 1103515245 + 12345) % 2147483648 for v in range(n)]
+    want = oracle.greedy_mis([a for a, _ in pairs],
+                             [b for _, b in pairs], n, pri)
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", range(14, 20))
+def test_sampled_triangle_twin_shape_matches_brute(seed):
+    """The DOULION twin's LCG keep-predicate + id-oriented triangle join
+    (the shape queries.TRIANGLES_SAMPLED_NATION_SQL instantiates) equals a
+    brute-force recount of the same kept subgraph, on random graphs."""
+    n, pairs = _random_pairs(seed, p=0.4)
+    edges_sql = _values_sql(pairs)
+    sql = f"""
+    WITH e0 AS ({edges_sql}),
+    und AS (SELECT DISTINCT src, dst FROM
+            (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+    canon AS (SELECT src, dst FROM und WHERE src < dst
+              AND ((src * 1103515245 + dst * 12345 + 12345) % 2147483648)
+                  % 5 < 2)
+    SELECT COUNT(*) AS n FROM canon e1 JOIN canon e2 ON e1.dst = e2.src
+    JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """
+    got = duckdb.sql(sql).fetchone()[0]
+    canon = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    kept = [(u, v) for u, v in canon
+            if ((u * 1103515245 + v * 12345 + 12345) % 2147483648) % 5 < 2]
+    adj: dict[int, set[int]] = {}
+    for u, v in kept:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = sum(len(adj[u] & adj[v]) for u, v in kept) // 3
+    assert got == want
