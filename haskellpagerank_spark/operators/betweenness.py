@@ -130,16 +130,57 @@ def betweenness(g: Graph, landmarks: list[int],
     return StructureResult(df=out, iterations=depth, metrics=metrics)
 
 
+def sampled_pivots(n: int, keep_num: int = 2, keep_den: int = 5) -> list[int]:
+    """Deterministic Brandes–Pich pivot set: vertex v is a pivot iff
+    LCG(v) % keep_den < keep_num — the same LCG family as the matching /
+    sampled-triangle gates, so the DuckDB twin reproduces the set with one
+    WHERE predicate."""
+    return [v for v in range(n)
+            if ((v * 1103515245 + 12345) % 2147483648) % keep_den < keep_num]
+
+
+def betweenness_sampled(g: Graph, keep_num: int = 2, keep_den: int = 5,
+                        max_depth: int = 200) -> StructureResult:
+    """Brandes–Pich estimated betweenness (Brandes & Pich, "Centrality
+    estimation in large networks", IJBC 2007): run the exact two-pass
+    kernel from a DETERMINISTIC pivot sample (p = keep_num/keep_den of the
+    vertex space) and scale dependencies by n/|pivots| — the unbiased
+    estimator, and the only way to run betweenness at web scale (exact is
+    one BFS+backward pass per vertex; the sampled run is |pivots|/n of
+    that work with the identical per-pivot plan). Returns (id, bc) with
+    the scaled estimate."""
+    n = g.num_vertices
+    pivots = sampled_pivots(n, keep_num, keep_den)
+    if not pivots:
+        raise ValueError(
+            f"pivot sample {keep_num}/{keep_den} selected no vertex "
+            f"out of {n}")
+    res = betweenness(g, pivots, max_depth=max_depth)
+    scaled = res.df.select(
+        "id",
+        (F.col("bc") * F.lit(float(n)) / F.lit(float(len(pivots))))
+        .alias("bc"))
+    return StructureResult(df=scaled, iterations=res.iterations,
+                           metrics=res.metrics)
+
+
 def betweenness_sql(edges_sql: str, verts_sql: str, max_depth: int,
-                    round_to: int = 6) -> str:
+                    round_to: int = 6, sources_sql: str | None = None,
+                    scale_num: float = 1.0,
+                    scale_den: float = 1.0) -> str:
     """DuckDB twin: unrolled forward sigma levels f0..fD (empty past the
     diameter) and backward dependency levels, landmarks = all vertices —
-    matches ``betweenness(g, range(n))``."""
+    matches ``betweenness(g, range(n))``. With ``sources_sql`` (an (id)
+    row set) the landmark seeds are restricted to it and the final bc is
+    multiplied by scale_num/scale_den BEFORE rounding — the Brandes–Pich
+    estimator, matching ``betweenness_sampled`` (which scales as
+    bc * n / k in that operand order)."""
+    src_seed = sources_sql if sources_sql is not None else verts_sql
     ctes = [
         f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}) "
         "WHERE src <> dst)",
         f"f0 AS MATERIALIZED (SELECT id AS lm, id, 1.0 AS sig "
-        f"FROM ({verts_sql}))",
+        f"FROM ({src_seed}))",
         "seen0 AS MATERIALIZED (SELECT lm, id FROM f0)",
     ]
     for l in range(1, max_depth + 1):
@@ -176,6 +217,7 @@ def betweenness_sql(edges_sql: str, verts_sql: str, max_depth: int,
         alld AS MATERIALIZED ({all_d}),
         bc AS (SELECT id, SUM(delta) AS bc FROM alld
                WHERE lm <> id GROUP BY 1)
-        SELECT v.id, ROUND(COALESCE(bc.bc, 0.0), {round_to}) AS bc
+        SELECT v.id, ROUND(COALESCE(bc.bc, 0.0) * {scale_num!r}
+                           / {scale_den!r}, {round_to}) AS bc
         FROM ({verts_sql}) v LEFT JOIN bc ON v.id = bc.id"""
     )

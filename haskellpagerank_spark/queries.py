@@ -953,13 +953,18 @@ def _q_harmonic_nation(spark, sf_dir):
 
 
 def _q_betweenness_nation(spark, sf_dir):
-    """Exact betweenness centrality (Brandes, landmarks = all nations) —
-    forward sigma levels + backward dependency accumulation
-    (operators/betweenness.py)."""
-    from .operators.betweenness import betweenness
+    """Betweenness family, union-tagged as (kind, id, bc): the exact
+    Brandes run (landmarks = all nations) plus the Brandes–Pich sampled
+    estimate from the deterministic 2/5 LCG pivot set (10 of 25 nations),
+    scaled n/k before rounding — both reproduced by the same unrolled
+    twin with a sources filter (sql_twins.betweenness_sql_twin)."""
+    from .operators.betweenness import betweenness, betweenness_sampled
     g = nation_trade_graph(spark, sf_dir)
-    res = betweenness(g, list(range(g.num_vertices)))
-    return res.df.select("id", F.round("bc", 6).alias("bc"))
+    exact = betweenness(g, list(range(g.num_vertices))).df.select(
+        F.lit("exact").alias("kind"), "id", F.round("bc", 6).alias("bc"))
+    smp = betweenness_sampled(g, keep_num=2, keep_den=5).df.select(
+        F.lit("sampled").alias("kind"), "id", F.round("bc", 6).alias("bc"))
+    return exact.unionByName(smp)
 
 
 def _q_ktruss_nation(spark, sf_dir):
@@ -2171,6 +2176,14 @@ _SQL: dict[str, str] = {
     "wl_nation": SQ.wl_refinement_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, 3),
     "betweenness_nation": SQ.betweenness_sql_twin(NATION_EDGES_SQL,
                                                   NATION_VERTS_SQL),
+    # Brandes-Pich estimate: the 2/5 LCG pivot predicate selects 10 of the
+    # 25 nations; scale 25/10 applied before rounding, same operand order
+    # as betweenness_sampled (bc * n / k)
+    "betweenness_sampled_nation": SQ.betweenness_sql_twin(
+        NATION_EDGES_SQL, NATION_VERTS_SQL,
+        sources_sql=(f"SELECT id FROM ({NATION_VERTS_SQL}) WHERE "
+                     "((id * 1103515245 + 12345) % 2147483648) % 5 < 2"),
+        scale_num=25.0, scale_den=10.0),
     # measured peel depth at sf0.01 is 3 rounds; 8 gives slack (extra
     # rounds are no-ops at the fixpoint)
     "ktruss_nation": SQ.k_truss_sql(NATION_EDGES_SQL, k=6, rounds=8),
@@ -2374,7 +2387,10 @@ ORACLES: dict[str, str] = {
     "anf_nation": _SQL["anf_nation"],
     "wl_nation": _SQL["wl_nation"],
     "walks_nation": _SQL["walks_nation"],
-    "betweenness_nation": _SQL["betweenness_nation"],
+    "betweenness_nation": _tagged_union([
+        ("exact", "id, bc", _SQL["betweenness_nation"]),
+        ("sampled", "id, bc", _SQL["betweenness_sampled_nation"]),
+    ], "kind"),
     "distances_nation": _tagged_union([
         ("bfs", "id, CAST(dist AS DOUBLE) AS dist", _SQL["bfs_nation"]),
         ("sssp", "id, dist", _SQL["sssp_nation"]),

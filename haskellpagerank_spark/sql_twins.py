@@ -837,11 +837,16 @@ def graph_summary_sql(edges_sql: str, verts_sql: str,
 
 
 def betweenness_sql_twin(edges_sql: str, verts_sql: str,
-                         max_depth: int = 12) -> str:
+                         max_depth: int = 12,
+                         sources_sql: str | None = None,
+                         scale_num: float = 1.0,
+                         scale_den: float = 1.0) -> str:
     """Thin re-export keeping queries.py's one-import convention; the twin
     itself lives beside the operator (operators/betweenness.py)."""
     from .operators.betweenness import betweenness_sql
-    return betweenness_sql(edges_sql, verts_sql, max_depth=max_depth)
+    return betweenness_sql(edges_sql, verts_sql, max_depth=max_depth,
+                           sources_sql=sources_sql, scale_num=scale_num,
+                           scale_den=scale_den)
 
 
 def k_truss_sql(edges_sql: str, k: int, rounds: int) -> str:
