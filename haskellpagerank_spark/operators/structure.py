@@ -496,6 +496,34 @@ def harmonic_centrality(g: Graph, landmarks: list[int],
     return StructureResult(df=out, iterations=depth, metrics=metrics)
 
 
+def harmonic_sampled(g: Graph, keep_num: int = 2, keep_den: int = 5,
+                     directed: bool = True,
+                     max_depth: int = 200) -> StructureResult:
+    """Eppstein–Wang landmark-sampled harmonic centrality (Eppstein &
+    Wang, SODA'01 "Fast approximation of centrality"): run the exact
+    multi-landmark BFS from the deterministic LCG pivot set
+    (betweenness.sampled_pivots — the same predicate the DuckDB twin
+    filters on) and scale by n/|pivots|. Work is |pivots|/n of the exact
+    run with the identical per-landmark plan — the web-scale path for
+    centrality sweeps, like betweenness_sampled."""
+    from .betweenness import sampled_pivots
+
+    n = g.num_vertices
+    pivots = sampled_pivots(n, keep_num, keep_den)
+    if not pivots:
+        raise ValueError(
+            f"pivot sample {keep_num}/{keep_den} selected no vertex "
+            f"out of {n}")
+    res = harmonic_centrality(g, pivots, directed=directed,
+                              max_depth=max_depth)
+    scaled = res.df.select(
+        "id",
+        (F.col("harmonic") * F.lit(float(n)) / F.lit(float(len(pivots))))
+        .alias("harmonic"))
+    return StructureResult(df=scaled, iterations=res.iterations,
+                           metrics=res.metrics)
+
+
 # ----------------------------------------------------------------- SimRank
 
 def simrank(g: Graph, iters: int = 3, c: float = 0.8,

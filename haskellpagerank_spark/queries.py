@@ -1474,10 +1474,17 @@ def _q_distances_nation(spark, sf_dir):
 
 def _q_closeness_harmonic_nation(spark, sf_dir):
     """Closeness and harmonic centrality side-by-side (both ride the shared
-    multi-landmark BFS), joined on id."""
+    multi-landmark BFS), joined on id — plus the Eppstein–Wang sampled
+    harmonic estimate (round-5 fold: 2/5 LCG pivots, 10 of 25 nations,
+    scaled n/k before rounding) as a fourth column."""
+    from .operators.structure import harmonic_sampled
     cl = _q_closeness_nation(spark, sf_dir)
     hm = _q_harmonic_nation(spark, sf_dir)
-    return cl.join(hm, "id").select("id", "closeness", "harmonic")
+    g = nation_trade_graph(spark, sf_dir)
+    he = harmonic_sampled(g, keep_num=2, keep_den=5, directed=True).df \
+        .select("id", F.round("harmonic", 8).alias("harmonic_est"))
+    return cl.join(hm, "id").join(he, "id").select(
+        "id", "closeness", "harmonic", "harmonic_est")
 
 
 def _q_hits_salsa_nation(spark, sf_dir):
@@ -2150,6 +2157,14 @@ _SQL: dict[str, str] = {
     "sssp_nation": SQ.sssp_sql(NATION_EDGES_SQL, NATION_VERTS_SQL, [0],
                                rounds=26),
     "harmonic_nation": SQ.harmonic_sql(NATION_EDGES_SQL, NATION_VERTS_SQL),
+    # Eppstein-Wang landmark estimate: same 2/5 LCG pivot predicate as the
+    # sampled-betweenness twin (10 of 25 nations), scaled 25/10 before
+    # rounding in the same operand order as structure.harmonic_sampled
+    "harmonic_sampled_nation": SQ.harmonic_sql(
+        NATION_EDGES_SQL, NATION_VERTS_SQL,
+        sources_sql=(f"SELECT id FROM ({NATION_VERTS_SQL}) WHERE "
+                     "((id * 1103515245 + 12345) % 2147483648) % 5 < 2"),
+        scale_num=25.0, scale_den=10.0),
     "adamic_adar_nation": SQ.adamic_adar_sql(NATION_EDGES_SQL),
     "simrank_nation": SQ.simrank_sql(NATION_EDGES_SQL, NATION_VERTS_SQL,
                                      iters=3, c=0.8),
@@ -2396,9 +2411,11 @@ ORACLES: dict[str, str] = {
         ("sssp", "id, dist", _SQL["sssp_nation"]),
     ], "kind"),
     "closeness_harmonic_nation": (
-        f"SELECT c.id, c.closeness, h.harmonic "
+        f"SELECT c.id, c.closeness, h.harmonic, "
+        f"he.harmonic AS harmonic_est "
         f"FROM ({_SQL['closeness_nation']}) c "
-        f"JOIN ({_SQL['harmonic_nation']}) h ON c.id = h.id"),
+        f"JOIN ({_SQL['harmonic_nation']}) h ON c.id = h.id "
+        f"JOIN ({_SQL['harmonic_sampled_nation']}) he ON c.id = he.id"),
     "hits_salsa_nation": _tagged_union([
         ("hits", "id, hub, authority", _SQL["hits_nation"]),
         ("salsa", "id, hub, authority", _SQL["salsa_nation"]),

@@ -767,15 +767,21 @@ def sssp_sql(edges_sql: str, verts_sql: str, sources: list[int],
 
 
 def harmonic_sql(edges_sql: str, verts_sql: str, round_to: int = 8,
-                 max_depth: int = 50) -> str:
+                 max_depth: int = 50, sources_sql: str | None = None,
+                 scale_num: float = 1.0, scale_den: float = 1.0) -> str:
     """Exact harmonic centrality (landmarks = all vertices) via one
     multi-landmark recursive BFS; h(v) = sum over u != v reaching v of
-    1/d(u, v) (matches operators.structure.harmonic_centrality)."""
+    1/d(u, v) (matches operators.structure.harmonic_centrality). With
+    ``sources_sql`` the BFS seeds only those landmarks and the sum is
+    multiplied by scale_num/scale_den before rounding — the
+    Eppstein–Wang landmark estimate, matching ``harmonic_sampled``
+    (which scales as h * n / k in that operand order)."""
+    seed = sources_sql if sources_sql is not None else verts_sql
     return f"""
         WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ({edges_sql})
                              WHERE src <> dst),
         r(lm, id, d) AS (
-            SELECT id, id, CAST(0 AS BIGINT) FROM ({verts_sql})
+            SELECT id, id, CAST(0 AS BIGINT) FROM ({seed})
             UNION
             SELECT r.lm, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id
             WHERE r.d < {max_depth}
@@ -783,7 +789,8 @@ def harmonic_sql(edges_sql: str, verts_sql: str, round_to: int = 8,
         m AS (SELECT lm, id, MIN(d) AS d FROM r GROUP BY 1, 2),
         h AS (SELECT id, SUM(1.0 / d) AS harmonic FROM m
               WHERE d > 0 GROUP BY 1)
-        SELECT v.id, ROUND(COALESCE(h.harmonic, 0.0), {round_to}) AS harmonic
+        SELECT v.id, ROUND(COALESCE(h.harmonic, 0.0) * {scale_num!r}
+                           / {scale_den!r}, {round_to}) AS harmonic
         FROM ({verts_sql}) v LEFT JOIN h ON v.id = h.id
     """
 

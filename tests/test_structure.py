@@ -650,3 +650,48 @@ def test_trussness_local_and_auto_match_distributed(spark, name):
     assert loc == want
     assert got_auto == want
     assert auto.metrics[0].extra.get("strategy") == "local"
+
+
+# ------------------------------- Eppstein-Wang sampled harmonic (round 5)
+
+@pytest.mark.parametrize("name", ["complete", "myFavorite", "princeton"])
+def test_harmonic_sampled_matches_scaled_oracle(spark, name):
+    """Sampled estimate == oracle restricted to the deterministic pivot
+    set, scaled n/k with the identical operand order."""
+    from haskellpagerank_spark.operators.betweenness import sampled_pivots
+    from haskellpagerank_spark.operators.structure import harmonic_sampled
+
+    src, dst, n = _arrays(name)
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    pivots = sampled_pivots(n, 2, 5)
+    if not pivots:
+        pytest.skip("no pivots at this n")
+    got = {r["id"]: r["harmonic"]
+           for r in harmonic_sampled(g, 2, 5).df.collect()}
+    base = oracle.harmonic_centrality(src, dst, n, pivots)
+    want = [h * float(n) / float(len(pivots)) for h in base]
+    np.testing.assert_allclose(
+        np.array([got[v] for v in range(n)]), np.array(want), atol=1e-9)
+
+
+def test_harmonic_sampled_p1_is_exact(spark):
+    from haskellpagerank_spark.operators.structure import (
+        harmonic_centrality as hc_op, harmonic_sampled)
+
+    pairs = FIXTURE_EDGES["myFavorite"]
+    g = from_pairs(spark, pairs)
+    n = g.num_vertices
+    got = {r["id"]: r["harmonic"]
+           for r in harmonic_sampled(g, 4, 4).df.collect()}
+    want = {r["id"]: r["harmonic"]
+            for r in hc_op(g, list(range(n))).df.collect()}
+    for v in range(n):
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+
+
+def test_harmonic_sampled_empty_pivots_raises(spark):
+    from haskellpagerank_spark.operators.structure import harmonic_sampled
+
+    g = from_pairs(spark, [(0, 1)])
+    with pytest.raises(ValueError):
+        harmonic_sampled(g, keep_num=1, keep_den=97)
