@@ -102,3 +102,20 @@ def test_sampled_triangle_twin_shape_matches_brute(seed):
         adj.setdefault(v, set()).add(u)
     want = sum(len(adj[u] & adj[v]) for u, v in kept) // 3
     assert got == want
+
+
+@pytest.mark.parametrize("seed", range(20, 30))
+def test_truss_core_inequality_random(seed):
+    """Cross-operator invariant (pure oracles, no engines): an edge of
+    trussness k lies in the k-truss, whose vertices all have degree >=
+    k-1 within it — so both endpoints have coreness >= k-1. Ties the two
+    independent decompositions together on random graphs."""
+    n, pairs = _random_pairs(seed, p=0.35)
+    import numpy as np
+
+    src = np.array([a for a, _ in pairs])
+    dst = np.array([b for _, b in pairs])
+    tau = oracle.trussness(src, dst)
+    core = oracle.coreness(src, dst, n)
+    for (u, v), k in tau.items():
+        assert core[u] >= k - 1 and core[v] >= k - 1, (u, v, k)
