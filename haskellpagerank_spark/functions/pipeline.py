@@ -56,3 +56,70 @@ def prepare_corpus(docs: DataFrame, lang: str = "en",
     return (gated.join(fp, id_col)
             .select(id_col, "lang_pred", "n_tokens", "quality_score",
                     "fingerprint"))
+
+
+def stratified_topk(docs: DataFrame, k: int, stratum_col: str = "lang",
+                    id_col: str = "doc_id", safety: int = 4) -> DataFrame:
+    """Deterministic per-stratum quota sample — the corpus-curation "take
+    k documents per language/source" step, keyed by a seeded shuffle:
+    within each stratum, rank by (md5(cast(id)), id) and keep rank <= k.
+    The md5 order is a uniform deterministic permutation, so this IS the
+    reproducible random quota sample, identical in Spark and DuckDB.
+
+    Skew-safe by construction: a naive row_number window puts an entire
+    stratum in ONE task (the 'en' stratum of a 10^12-doc crawl — the
+    classic skew trap). Instead: (1) per-stratum counts (map-side-combined
+    hash agg); (2) a PARALLEL hash-threshold prune keeping rows whose
+    60-bit md5 prefix falls below ~safety*k/n_s of the key space —
+    expected safety*k survivors per stratum, and the prune is an exact
+    prefix of the ranking order (kept prefixes all precede dropped ones);
+    (3) the row_number window runs on the pruned remnant only (~safety*k
+    rows per stratum per window task). One small verification agg checks
+    every stratum kept >= min(k, n_s) rows; any undersampled stratum
+    (astronomically unlikely at safety=4, possible only for adversarial
+    id sets) falls back to its full row set, preserving exactness.
+
+    Returns (stratum_col, id_col, rk) with rk in 1..k per stratum.
+    """
+    if k < 1:
+        raise ValueError("stratified_topk needs k >= 1")
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.col(id_col).cast("string"))
+    # 60-bit numeric prefix of the hex key — monotone with the string order
+    pref = F.conv(F.substring(key, 1, 15), 16, 10).cast("decimal(20,0)") \
+        .cast("double")
+    base = docs.select(F.col(stratum_col).alias("stratum"),
+                       F.col(id_col).alias("_id"),
+                       key.alias("_key"), pref.alias("_pref"))
+    counts = base.groupBy("stratum").agg(F.count(F.lit(1)).alias("n_s"))
+    space = float(1 << 60)
+    thresh = counts.select(
+        "stratum",
+        "n_s",
+        F.least(F.lit(1.0),
+                F.lit(float(safety * k)) / F.col("n_s")).alias("frac"))
+    pruned = (base.join(thresh, "stratum")
+              .where(F.col("_pref") < F.col("frac") * F.lit(space)))
+    # exactness guard: every stratum must keep >= min(k, n_s) rows
+    check = (pruned.groupBy("stratum").agg(F.count(F.lit(1)).alias("kept"))
+             .join(counts, "stratum", "right")
+             .select("stratum",
+                     (F.coalesce("kept", F.lit(0))
+                      < F.least(F.lit(k), F.col("n_s"))).alias("under")))
+    bad = [r["stratum"] for r in check.where("under").collect()]
+    if bad:
+        fallback = base.join(
+            F.broadcast(base.sparkSession.createDataFrame(
+                [(s,) for s in bad], "stratum string")), "stratum")
+        pruned = (pruned.join(F.broadcast(
+            pruned.sparkSession.createDataFrame(
+                [(s,) for s in bad], "stratum string")),
+            "stratum", "left_anti").select("stratum", "_id", "_key")
+            .unionByName(fallback.select("stratum", "_id", "_key")))
+    w = Window.partitionBy("stratum").orderBy("_key", "_id")
+    return (pruned.select("stratum", "_id", "_key")
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select(F.col("stratum").alias(stratum_col),
+                    F.col("_id").alias(id_col), "rk"))

@@ -1642,7 +1642,14 @@ def _q_text_features(spark, sf_dir):
         "doc_id", "unique_token_ratio", "stopword_ratio", "quality_score")
     lang = _q_lang_id(spark, sf_dir)
     fp = _q_fingerprint(spark, sf_dir)
-    return tok.join(qual, "doc_id").join(lang, "doc_id").join(fp, "doc_id")
+    # round-5 fold: deterministic per-language quota sample (k=20 by the
+    # seeded md5 shuffle, functions.pipeline.stratified_topk) rides along
+    # as smp_rank — NULL for unsampled docs, so row count is unchanged
+    from .functions.pipeline import stratified_topk
+    smp = stratified_topk(_docs(spark, sf_dir), k=20).select(
+        "doc_id", F.col("rk").alias("smp_rank"))
+    return (tok.join(qual, "doc_id").join(lang, "doc_id")
+            .join(fp, "doc_id").join(smp, "doc_id", "left"))
 
 
 def _q_neardup_pairs(spark, sf_dir):
@@ -2471,11 +2478,17 @@ ORACLES: dict[str, str] = {
         SELECT t.doc_id, t.n_tokens, t.n_pieces, t.n_chars_measured,
                t.avg_token_len, q.unique_token_ratio, q.stopword_ratio,
                q.quality_score, l.hits_de, l.hits_en, l.hits_es, l.hits_fr,
-               l.lang_pred, f.fingerprint
+               l.lang_pred, f.fingerprint, s.rk AS smp_rank
         FROM ({_SQL['token_stats']}) t
         JOIN ({_SQL['quality_features']}) q ON t.doc_id = q.doc_id
         JOIN ({_SQL['lang_id']}) l ON t.doc_id = l.doc_id
         JOIN ({_SQL['doc_fingerprint']}) f ON t.doc_id = f.doc_id
+        LEFT JOIN (
+            SELECT doc_id, rk FROM (
+                SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+                FROM documents) WHERE rk <= 20
+        ) s ON t.doc_id = s.doc_id
     """,
     "corpus_prep": _SQL["corpus_prep"],
     "ngram_counts": _SQL["ngram_counts"],

@@ -381,3 +381,65 @@ def test_minhash_estimate_tracks_true_jaccard(spark, hash_mode):
         bound = 4.0 * np.sqrt(max(true_j * (1 - true_j), 0.01) / k)
         assert abs(est - true_j) <= bound, \
             (hash_mode, i, true_j, est, bound)
+
+
+# ------------------------------ stratified quota sampling (round 5)
+
+def _strat_docs(spark):
+    import hashlib
+    rows = [(i, f"doc number {i}", ["en", "de", "es"][i % 3])
+            for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    want = {}
+    for i, _, lang in rows:
+        want.setdefault(lang, []).append(
+            (hashlib.md5(str(i).encode()).hexdigest(), i))
+    for lang in want:
+        want[lang] = [i for _, i in sorted(want[lang])]
+    return df, want
+
+
+def test_stratified_topk_matches_md5_order(spark):
+    """rk order within each stratum == pure-Python md5 sort of the ids,
+    and exactly min(k, |stratum|) rows survive per stratum."""
+    from haskellpagerank_spark.functions.pipeline import stratified_topk
+
+    df, want = _strat_docs(spark)
+    got = stratified_topk(df, k=7)
+    rows = got.collect()
+    by_lang = {}
+    for r in sorted(rows, key=lambda r: (r["lang"], r["rk"])):
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert set(by_lang) == set(want)
+    for lang in want:
+        assert by_lang[lang] == want[lang][:7]
+
+
+def test_stratified_topk_fallback_path_is_exact(spark):
+    """safety=0 makes the hash prune keep nothing, forcing EVERY stratum
+    through the fallback — the result must be identical to the normal
+    path (exactness does not depend on the prune)."""
+    from haskellpagerank_spark.functions.pipeline import stratified_topk
+
+    df, _ = _strat_docs(spark)
+    a = sorted(map(tuple, stratified_topk(df, k=5, safety=4).collect()))
+    b = sorted(map(tuple, stratified_topk(df, k=5, safety=0).collect()))
+    assert a == b and len(a) == 15
+
+
+def test_stratified_topk_k_exceeds_stratum(spark):
+    """k larger than a stratum returns the whole stratum, ranked."""
+    from haskellpagerank_spark.functions.pipeline import stratified_topk
+
+    df, want = _strat_docs(spark)
+    got = stratified_topk(df, k=1000)
+    assert got.count() == 90
+    assert got.agg({"rk": "max"}).first()[0] == 30
+
+
+def test_stratified_topk_rejects_bad_k(spark):
+    from haskellpagerank_spark.functions.pipeline import stratified_topk
+
+    df, _ = _strat_docs(spark)
+    with pytest.raises(ValueError):
+        stratified_topk(df, k=0)
