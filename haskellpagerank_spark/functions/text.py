@@ -13,7 +13,7 @@ operations a web-scale corpus pipeline needs before graph extraction
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny deterministic per-language marker lists (heuristic n-gram/stopword
@@ -210,4 +210,107 @@ def contamination_overlap(docs: DataFrame, probe: DataFrame, n: int = 5,
                 .alias("n_ngrams"),
                 F.round(F.col("n_overlap") / F.col("n_ngrams"), 6)
                 .alias("overlap_frac"))
+    )
+
+
+def top_bigram_share(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     scale: int = 1_000_000) -> DataFrame:
+    """Per-document most-frequent word bigram and the fraction of tokens it
+    covers: (doc_id, gram, cnt, n_tokens, share_ppm).
+
+    The Gopher-style repetition filter ("fraction of tokens contained in
+    the most common 2-gram") for boilerplate/spam detection — complements
+    quality_features' unique_token_ratio, which misses *phrase*-level
+    repetition. share_ppm = (2 * cnt * scale) div n_tokens is INTEGER
+    arithmetic end-to-end (no float division, no rounding-mode seam with
+    the DuckDB twin); ties on cnt break to the lexicographically smallest
+    bigram. Docs with < 2 tokens have no bigram and are excluded.
+
+    Plan shape (100 TB): explode bigrams -> map-side-combined
+    (doc_id, gram) count -> top-1 window over <= distinct-bigrams-per-doc
+    rows (bounded by document length, never corpus-skewed).
+    """
+    if scale < 1:
+        raise ValueError("scale must be >= 1")
+    toks = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.lower(F.array_join(F.slice(toks, i, 2), " ")),
+    )
+    per = (
+        docs.where(F.length(F.trim(F.col(text_col))) > 0)
+        .where(F.size(toks) >= 2)
+        .select(F.col(id_col).alias("doc_id"),
+                F.size(toks).cast("long").alias("n_tokens"),
+                F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "n_tokens", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("gram").asc())
+    return (
+        per.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "gram", "cnt", "n_tokens",
+                F.expr(f"(2 * cnt * CAST({scale} AS BIGINT)) div n_tokens")
+                .alias("share_ppm"))
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    idf_scale: int = 1_000_000) -> DataFrame:
+    """Per-document top-k TF-IDF terms: (doc_id, term, tf, df, score, rnk).
+
+    The keyword-extraction / quality-signal staple of a corpus pipeline
+    (salient-term summaries, boilerplate detection via low-IDF dominance,
+    lightweight sparse retrieval features). Terms are the engine's
+    whitespace tokens lowercased; tf = term count in the doc, df = number
+    of docs containing the term, and the score uses an INTEGER-scaled idf,
+
+        score = tf * ((N * idf_scale) div df)          -- all BIGINT
+
+    (``div`` = integral division) instead of a float ``tf * ln(N/df)``:
+    bit-identical across Spark and DuckDB with no libm/rounding seam, and
+    monotone in tf and in N/df, so top-k ranking is preserved for fixed tf.
+    Ties (same score) break on ascending term, so the selected set and
+    ``rnk`` are fully deterministic.
+
+    Plan shape (100 TB): one corpus scan -> explode -> map-side-combined
+    (doc_id, term) count; df and the N scalar both derive from that tf
+    relation (no second scan); tf joins vocab-sized df on the short term
+    key (AQE picks broadcast when the vocab fits); the top-k window
+    partitions by doc_id over <= distinct-terms-per-doc rows — bounded by
+    document length, never corpus-skewed.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if idf_scale < 1:
+        raise ValueError("idf_scale must be >= 1")
+    tf = (
+        docs.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("doc_id"),
+                F.explode(tokens(text_col)).alias("term"))
+        .select("doc_id", F.lower("term").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # every doc passing the non-empty filter has >= 1 token, so the
+    # distinct doc_id count of tf IS the corpus size N — no second scan
+    n = tf.agg(F.countDistinct("doc_id").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", "tf", "df",
+                (F.col("tf") * F.expr(
+                    f"(n * CAST({idf_scale} AS BIGINT)) div df"))
+                .alias("score"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
     )

@@ -1162,11 +1162,36 @@ def _q_contamination(spark, sf_dir):
 
 
 def _q_ngram_counts(spark, sf_dir):
-    """Corpus trigram counts with cnt >= 2 over documents — LM statistics
-    / contamination-check staple (functions.text.ngram_counts)."""
-    from .functions.text import ngram_counts
+    """Corpus term-statistics family, union-tagged as
+    (kind, doc_id, term, tf, df, score, rnk):
+
+    - kind='ngram'  — corpus trigram counts with cnt >= 2 (LM statistics /
+      contamination staple, functions.text.ngram_counts); doc-level
+      columns carry -1.
+    - kind='tfidf'  — per-document top-3 TF-IDF terms with the
+      integer-scaled idf score (functions.text.tfidf_top_terms, round 5).
+    - kind='top2'   — per-document most-frequent bigram, Gopher-style
+      repetition signal; term=gram, tf=cnt, df=n_tokens, score=share_ppm
+      (functions.text.top_bigram_share, round 5; integer ppm — no float
+      division on either engine).
+    """
+    from .functions.text import (ngram_counts, tfidf_top_terms,
+                                 top_bigram_share)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return ngram_counts(docs, n=3, min_count=2)
+    neg = F.lit(-1).cast("long")
+    ng = ngram_counts(docs, n=3, min_count=2).select(
+        F.lit("ngram").alias("kind"), neg.alias("doc_id"),
+        F.col("ngram").alias("term"), F.col("cnt").alias("tf"),
+        neg.alias("df"), neg.alias("score"), neg.alias("rnk"))
+    ti = tfidf_top_terms(docs, k=3).select(
+        F.lit("tfidf").alias("kind"), "doc_id", "term", "tf", "df",
+        "score", F.col("rnk").cast("long").alias("rnk"))
+    tb = top_bigram_share(docs).select(
+        F.lit("top2").alias("kind"), "doc_id",
+        F.col("gram").alias("term"), F.col("cnt").alias("tf"),
+        F.col("n_tokens").alias("df"),
+        F.col("share_ppm").alias("score"), F.lit(1).cast("long").alias("rnk"))
+    return ng.unionByName(ti).unionByName(tb)
 
 
 def _q_domain_pagerank(spark, sf_dir):
@@ -2180,6 +2205,8 @@ _SQL: dict[str, str] = {
     "walks_nation": _walks_sql_twin(),
     "anf_nation": _anf_sql_twin(),
     "ngram_counts": SQ.ngram_counts_sql(3, 2),
+    "tfidf_top_terms": SQ.tfidf_top_terms_sql(3),
+    "top_bigram_share": SQ.top_bigram_share_sql(),
     "contamination_trigram": SQ.contamination_sql(3, 37),
     "domain_pagerank": ("SELECT vertex AS host, rank FROM ({q})".format(
         q=SQ.weighted_pagerank_sql(f"""
@@ -2491,7 +2518,17 @@ ORACLES: dict[str, str] = {
         ) s ON t.doc_id = s.doc_id
     """,
     "corpus_prep": _SQL["corpus_prep"],
-    "ngram_counts": _SQL["ngram_counts"],
+    "ngram_counts": _tagged_union([
+        ("ngram", "CAST(-1 AS BIGINT) AS doc_id, ngram AS term, "
+                  "cnt AS tf, CAST(-1 AS BIGINT) AS df, "
+                  "CAST(-1 AS BIGINT) AS score, CAST(-1 AS BIGINT) AS rnk",
+         _SQL["ngram_counts"]),
+        ("tfidf", "doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rnk",
+         _SQL["tfidf_top_terms"]),
+        ("top2", "doc_id, gram AS term, cnt AS tf, n_tokens AS df, "
+                 "share_ppm AS score, CAST(1 AS BIGINT) AS rnk",
+         _SQL["top_bigram_share"]),
+    ], "kind"),
     "contamination_trigram": _SQL["contamination_trigram"],
     "exact_dedup_groups": _SQL["exact_dedup_groups"],
     "neardup_pairs": _tagged_union([

@@ -1153,6 +1153,55 @@ def ngram_counts_sql(n: int, min_count: int = 2) -> str:
     """
 
 
+def top_bigram_share_sql(scale: int = 1_000_000) -> str:
+    """Per-document most-frequent bigram + integer ppm token share over
+    ``documents`` (matches functions.text.top_bigram_share): all-BIGINT
+    ``share_ppm = (2 * cnt * scale) // n_tokens``, ties on ascending
+    gram."""
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          string_split_regex(trim(text), '\\s+') AS toks
+                   FROM documents WHERE length(trim(text)) > 0),
+        b AS (SELECT doc_id, len(toks) AS n_tokens,
+                     lower(array_to_string(toks[i:i+1], ' ')) AS gram
+              FROM t, UNNEST(range(1, len(toks))) AS u(i)
+              WHERE len(toks) >= 2),
+        c AS (SELECT doc_id, n_tokens, gram, COUNT(*) AS cnt
+              FROM b GROUP BY 1, 2, 3),
+        r AS (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+              FROM c)
+        SELECT doc_id, gram, cnt, CAST(n_tokens AS BIGINT) AS n_tokens,
+               (2 * cnt * {scale}) // n_tokens AS share_ppm
+        FROM r WHERE rn = 1
+    """
+
+
+def tfidf_top_terms_sql(k: int = 3, idf_scale: int = 1_000_000) -> str:
+    """Per-document top-k TF-IDF terms over ``documents`` (matches
+    functions.text.tfidf_top_terms): lowercased whitespace tokens,
+    integer-scaled idf ``score = tf * ((N * idf_scale) // df)`` — all
+    BIGINT arithmetic, so both engines agree bit-for-bit — ties broken on
+    ascending term."""
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          string_split_regex(trim(lower(text)), '\\s+') AS toks
+                   FROM documents WHERE length(trim(text)) > 0),
+        tf AS (SELECT doc_id, u.term AS term, COUNT(*) AS tf
+               FROM t, UNNEST(toks) AS u(term) GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+        sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                      tf.tf * (((SELECT n FROM nn) * {idf_scale}) // df.df)
+                          AS score
+               FROM tf JOIN df USING (term)),
+        rk AS (SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+               FROM sc)
+        SELECT doc_id, term, tf, df, score, rnk FROM rk WHERE rnk <= {k}
+    """
+
+
 def weighted_pagerank_sql(edges_sql: str, iters: int,
                           damping: float = 0.85,
                           round_to: int = 8) -> str:

@@ -443,3 +443,77 @@ def test_stratified_topk_rejects_bad_k(spark):
     df, _ = _strat_docs(spark)
     with pytest.raises(ValueError):
         stratified_topk(df, k=0)
+
+
+def _tfidf_oracle(rows, k, scale=1_000_000):
+    """Pure-Python TF-IDF top-k twin: lowercased whitespace tokens,
+    integer-scaled idf, (score desc, term asc) tie-break."""
+    from collections import Counter
+
+    tfs = {i: Counter(t.lower().split()) for i, t in rows if t.strip()}
+    dfc = Counter(term for c in tfs.values() for term in c)
+    n = len(tfs)
+    out = []
+    for i, c in tfs.items():
+        scored = sorted(
+            ((term, tf, dfc[term], tf * ((n * scale) // dfc[term]))
+             for term, tf in c.items()),
+            key=lambda r: (-r[3], r[0]))
+        out += [(i, term, tf, df, sc, r + 1)
+                for r, (term, tf, df, sc) in enumerate(scored[:k])]
+    return sorted(out)
+
+
+def test_tfidf_top_terms_matches_oracle(corpus):
+    rows = [(r["doc_id"], r["text"]) for r in
+            corpus.select("doc_id", "text").collect()]
+    for k in (1, 3, 100):
+        got = sorted(map(tuple, T.tfidf_top_terms(corpus, k=k).collect()))
+        assert got == _tfidf_oracle(rows, k)
+
+
+def test_tfidf_tie_break_deterministic(spark):
+    """All-distinct single-occurrence terms tie on score; ranking must be
+    ascending-term and stable across runs."""
+    docs = spark.createDataFrame(
+        [(1, "b c a"), (2, "z y x w")], "doc_id long, text string")
+    got = T.tfidf_top_terms(docs, k=2).orderBy("doc_id", "rnk").collect()
+    assert [(r["doc_id"], r["term"], r["rnk"]) for r in got] == [
+        (1, "a", 1), (1, "b", 2), (2, "w", 1), (2, "x", 2)]
+    assert T.tfidf_top_terms(docs, k=2).orderBy("doc_id", "rnk").collect() \
+        == got
+
+
+def test_tfidf_rejects_bad_args(corpus):
+    with pytest.raises(ValueError):
+        T.tfidf_top_terms(corpus, k=0)
+    with pytest.raises(ValueError):
+        T.tfidf_top_terms(corpus, idf_scale=0)
+
+
+def test_top_bigram_share_matches_oracle(corpus):
+    from collections import Counter
+
+    got = {r["doc_id"]: (r["gram"], r["cnt"], r["n_tokens"], r["share_ppm"])
+           for r in T.top_bigram_share(corpus).collect()}
+    for r in corpus.select("doc_id", "text").collect():
+        toks = r["text"].split()
+        if len(toks) < 2:
+            assert r["doc_id"] not in got
+            continue
+        c = Counter(" ".join(toks[i:i + 2]).lower()
+                    for i in range(len(toks) - 1))
+        gram, cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert got[r["doc_id"]] == (
+            gram, cnt, len(toks), (2 * cnt * 1_000_000) // len(toks))
+
+
+def test_top_bigram_share_repetitive_doc(spark):
+    """A doc that is one phrase repeated maxes the share signal."""
+    docs = spark.createDataFrame(
+        [(1, "spam ham " * 50), (2, "all distinct words here now")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in T.top_bigram_share(docs).collect()}
+    assert got[1]["gram"] == "spam ham" and got[1]["cnt"] == 50
+    assert got[1]["share_ppm"] == (2 * 50 * 1_000_000) // 100
+    assert got[2]["cnt"] == 1
