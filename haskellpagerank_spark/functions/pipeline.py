@@ -123,3 +123,60 @@ def stratified_topk(docs: DataFrame, k: int, stratum_col: str = "lang",
             .where(F.col("rk") <= k)
             .select(F.col("stratum").alias(stratum_col),
                     F.col("_id").alias(id_col), "rk"))
+
+
+def pack_token_shards(docs: DataFrame, budget: int,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      bucket_size: int = 1 << 20) -> DataFrame:
+    """GPT-style concat-and-chunk shard assignment: lay every document's
+    tokens contiguously in doc_id order and cut a training-shard boundary
+    every ``budget`` tokens. Returns one row per doc:
+    (doc_id, n_tokens, start_offset, shard_id, straddles) — shard_id is
+    the shard the doc STARTS in (= start_offset div budget), straddles=1
+    when its tokens cross a shard boundary. All-BIGINT arithmetic;
+    deterministic for a fixed doc_id order.
+
+    The global prefix sum is the scale hazard: ``SUM() OVER (ORDER BY
+    doc_id)`` with no partition key runs in ONE task. Instead, the classic
+    two-phase scan: (1) per-bucket token totals (bucket = doc_id div
+    bucket_size; map-side-combined agg, |corpus|/bucket_size rows), (2) the
+    tiny bucket relation cumsums driver-side and broadcasts back as each
+    bucket's base offset, (3) the within-bucket running sum windows over at
+    most bucket_size rows per task. At 10^12 docs, bucket_size=2^20 leaves
+    a 10^6-row driver step and million-row window tasks — no single-task
+    scan anywhere. DuckDB twin uses the plain global window (equivalent at
+    oracle scale).
+    """
+    from .text import token_count
+
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    if bucket_size < 1:
+        raise ValueError("bucket_size must be >= 1")
+    from pyspark.sql.window import Window
+
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+        F.expr(f"{id_col} div CAST({bucket_size} AS BIGINT)").alias("_b"))
+    bucket_totals = sorted(
+        (r["_b"], r["tot"]) for r in
+        t.groupBy("_b").agg(F.sum("n_tokens").alias("tot")).collect())
+    base, acc = [], 0
+    for b, tot in bucket_totals:
+        base.append((b, acc))
+        acc += int(tot)
+    base_df = F.broadcast(docs.sparkSession.createDataFrame(
+        base, "_b long, _base long"))
+    w = (Window.partitionBy("_b").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = (F.col("_base") + F.sum("n_tokens").over(w)
+             - F.col("n_tokens")).alias("start_offset")
+    out = t.join(base_df, "_b").select("doc_id", "n_tokens", start)
+    shard = F.expr(f"start_offset div CAST({budget} AS BIGINT)")
+    end_shard = F.expr(
+        f"(start_offset + n_tokens - 1) div CAST({budget} AS BIGINT)")
+    return out.select(
+        "doc_id", "n_tokens", "start_offset", shard.alias("shard_id"),
+        F.when((F.col("n_tokens") > 0) & (end_shard != shard), F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("straddles"))

@@ -1670,11 +1670,16 @@ def _q_text_features(spark, sf_dir):
     # round-5 fold: deterministic per-language quota sample (k=20 by the
     # seeded md5 shuffle, functions.pipeline.stratified_topk) rides along
     # as smp_rank — NULL for unsampled docs, so row count is unchanged
-    from .functions.pipeline import stratified_topk
+    from .functions.pipeline import pack_token_shards, stratified_topk
     smp = stratified_topk(_docs(spark, sf_dir), k=20).select(
         "doc_id", F.col("rk").alias("smp_rank"))
+    # round-5 fold: concat-and-chunk training-shard assignment (budget 512
+    # tokens, two-phase prefix sum) rides along as three integer columns
+    pk = pack_token_shards(_docs(spark, sf_dir), budget=512).select(
+        "doc_id", "start_offset", "shard_id", "straddles")
     return (tok.join(qual, "doc_id").join(lang, "doc_id")
-            .join(fp, "doc_id").join(smp, "doc_id", "left"))
+            .join(fp, "doc_id").join(smp, "doc_id", "left")
+            .join(pk, "doc_id"))
 
 
 def _q_neardup_pairs(spark, sf_dir):
@@ -1917,6 +1922,24 @@ _SQL: dict[str, str] = {
                                 ELSE len({TOK_SQL}) END, 1), 6)
                    AS avg_token_len
         FROM documents
+    """,
+    "pack_shards": f"""
+        -- windowed SUM(BIGINT) is HUGEINT in DuckDB (float64 via pandas);
+        -- cast back to BIGINT so dtypes match the Spark side exactly
+        SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+               CAST(start_offset // 512 AS BIGINT) AS shard_id,
+               CAST(CASE WHEN n_tokens > 0
+                         AND (start_offset + n_tokens - 1) // 512
+                             <> start_offset // 512
+                    THEN 1 ELSE 0 END AS BIGINT) AS straddles
+        FROM (SELECT doc_id, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tokens AS start_offset
+              FROM (SELECT doc_id,
+                           CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len({TOK_SQL}) END AS n_tokens
+                    FROM documents))
     """,
     "quality_features": f"""
         WITH t AS (
@@ -2505,7 +2528,8 @@ ORACLES: dict[str, str] = {
         SELECT t.doc_id, t.n_tokens, t.n_pieces, t.n_chars_measured,
                t.avg_token_len, q.unique_token_ratio, q.stopword_ratio,
                q.quality_score, l.hits_de, l.hits_en, l.hits_es, l.hits_fr,
-               l.lang_pred, f.fingerprint, s.rk AS smp_rank
+               l.lang_pred, f.fingerprint, s.rk AS smp_rank,
+               p.start_offset, p.shard_id, p.straddles
         FROM ({_SQL['token_stats']}) t
         JOIN ({_SQL['quality_features']}) q ON t.doc_id = q.doc_id
         JOIN ({_SQL['lang_id']}) l ON t.doc_id = l.doc_id
@@ -2516,6 +2540,7 @@ ORACLES: dict[str, str] = {
                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
                 FROM documents) WHERE rk <= 20
         ) s ON t.doc_id = s.doc_id
+        JOIN ({_SQL['pack_shards']}) p ON t.doc_id = p.doc_id
     """,
     "corpus_prep": _SQL["corpus_prep"],
     "ngram_counts": _tagged_union([

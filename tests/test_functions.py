@@ -517,3 +517,54 @@ def test_top_bigram_share_repetitive_doc(spark):
     assert got[1]["gram"] == "spam ham" and got[1]["cnt"] == 50
     assert got[1]["share_ppm"] == (2 * 50 * 1_000_000) // 100
     assert got[2]["cnt"] == 1
+
+
+def _pack_oracle(rows, budget):
+    out, acc = {}, 0
+    for i, text in sorted(rows):
+        n = len(text.split()) if text.strip() else 0
+        shard = acc // budget
+        straddle = 1 if n > 0 and (acc + n - 1) // budget != shard else 0
+        out[i] = (n, acc, shard, straddle)
+        acc += n
+    return out
+
+
+@pytest.mark.parametrize("bucket_size", [1, 3, 1 << 20])
+def test_pack_token_shards_matches_oracle(corpus, bucket_size):
+    """Two-phase prefix sum equals the sequential oracle for bucket sizes
+    smaller than, comparable to, and larger than the corpus."""
+    from haskellpagerank_spark.functions.pipeline import pack_token_shards
+
+    rows = [(r["doc_id"], r["text"]) for r in
+            corpus.select("doc_id", "text").collect()]
+    want = _pack_oracle(rows, 20)
+    got = {r["doc_id"]: (r["n_tokens"], r["start_offset"], r["shard_id"],
+                         r["straddles"])
+           for r in pack_token_shards(corpus, budget=20,
+                                      bucket_size=bucket_size).collect()}
+    assert got == want
+
+
+def test_pack_token_shards_boundaries(spark):
+    """Exact-fit docs never straddle; a doc spanning a cut does."""
+    from haskellpagerank_spark.functions.pipeline import pack_token_shards
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "e f"), (2, "g h i"), (3, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           pack_token_shards(docs, budget=4).collect()}
+    assert (got[0]["shard_id"], got[0]["straddles"]) == (0, 0)  # fills shard 0
+    assert (got[1]["shard_id"], got[1]["straddles"]) == (1, 0)
+    assert (got[2]["shard_id"], got[2]["straddles"]) == (1, 1)  # 6..8 crosses
+    assert (got[3]["n_tokens"], got[3]["straddles"]) == (0, 0)  # empty doc
+
+
+def test_pack_token_shards_rejects_bad_args(corpus):
+    from haskellpagerank_spark.functions.pipeline import pack_token_shards
+
+    with pytest.raises(ValueError):
+        pack_token_shards(corpus, budget=0)
+    with pytest.raises(ValueError):
+        pack_token_shards(corpus, budget=10, bucket_size=0)
