@@ -654,6 +654,86 @@ def graph_summary(g: Graph) -> DataFrame:
     )
 
 
+def transitivity(g: Graph) -> DataFrame:
+    """Global clustering coefficient (transitivity): C = 3T / W over the
+    undirected simple graph, where T is the global triangle count
+    (triangles.triangle_count — degree-ordered oriented join, hub-safe)
+    and W = sum_v d_v (d_v - 1) / 2 is the wedge count. One row
+    (n_wedges, n_triangles, transitivity); counts are BIGINT, the ratio is
+    rounded to 8 (identical double ops in the DuckDB twin).
+
+    Complements clustering_coefficient (the per-vertex/average variant):
+    transitivity weights high-degree vertices by their wedge counts, so
+    the two diverge exactly on hub-heavy web graphs.
+    """
+    from .triangles import triangle_count
+
+    und = undirected_simple_edges(g).where(F.col("src") != F.col("dst"))
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    w = deg.agg(F.coalesce(
+        F.sum(F.expr("deg * (deg - 1) div 2")), F.lit(0)).alias("n_wedges"))
+    return w.crossJoin(triangle_count(g)).select(
+        "n_wedges", "n_triangles",
+        F.round(F.lit(3.0) * F.col("n_triangles")
+                / F.greatest(F.col("n_wedges"), F.lit(1)).cast("double"),
+                8).alias("transitivity"))
+
+
+def rich_club(g: Graph, scale: int = 1_000_000) -> DataFrame:
+    """Rich-club curve phi(k) = 2 E_k / (N_k (N_k - 1)) for every observed
+    undirected-degree threshold k: N_k = #vertices with degree > k, E_k =
+    #undirected simple edges whose BOTH endpoints have degree > k
+    (equivalently min(d_u, d_v) > k). The classic "do the hubs of this
+    crawl link to each other" diagnostic (Colizza et al., Nat. Phys. 2006
+    — detecting rich-club ordering; public literature).
+
+    Returns (k, n_nodes, n_edges, phi_ppm) for thresholds with N_k >= 2,
+    phi_ppm = (2 E_k * scale) div (N_k (N_k - 1)) — all-BIGINT, no float
+    seam with the twin.
+
+    NOT one scan per k: both curves come from histograms. The degree
+    histogram gives N_k, the per-edge min-endpoint-degree histogram gives
+    E_k, and each cumulative-from-strictly-above is one window over the
+    merged histogram axis — whose size is the number of DISTINCT degree
+    values (<= max degree; a few thousand even for web graphs), so the
+    single-partition window is a deliberate small-data step, like a driver
+    cumsum, not a corpus-sized scan.
+    """
+    if scale < 1:
+        raise ValueError("scale must be >= 1")
+    from pyspark.sql.window import Window
+
+    und = undirected_simple_edges(g).where(F.col("src") != F.col("dst"))
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    hd = deg.groupBy(F.col("deg").alias("val")).agg(
+        F.count(F.lit(1)).alias("ncnt"))
+    canon = und.where(F.col("src") < F.col("dst"))
+    mdeg = (canon
+            .join(deg.select(F.col("id").alias("src"),
+                             F.col("deg").alias("sdeg")), "src")
+            .join(deg.select(F.col("id").alias("dst"),
+                             F.col("deg").alias("ddeg")), "dst")
+            .select(F.least("sdeg", "ddeg").alias("val")))
+    hm = mdeg.groupBy("val").agg(F.count(F.lit(1)).alias("ecnt"))
+    axis = (hd.join(hm, "val", "full_outer")
+            .select("val", F.coalesce("ncnt", F.lit(0)).alias("ncnt"),
+                    F.coalesce("ecnt", F.lit(0)).alias("ecnt")))
+    # one row per distinct degree value -> a ROWS frame of strictly-higher
+    # values is exactly the strictly-greater-than-k cumulative
+    w = (Window.orderBy(F.col("val").desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    curve = axis.select(
+        F.col("val").alias("k"),
+        F.coalesce(F.sum("ncnt").over(w), F.lit(0)).alias("n_nodes"),
+        F.coalesce(F.sum("ecnt").over(w), F.lit(0)).alias("n_edges"))
+    return (curve.where(F.col("n_nodes") >= 2)
+            .select("k", "n_nodes", "n_edges",
+                    F.expr(f"(2 * n_edges * CAST({scale} AS BIGINT)) "
+                           "div (n_nodes * (n_nodes - 1))")
+                    .alias("phi_ppm")))
+
+
 def powerlaw_alpha(g: Graph, xmin: int = 1,
                    direction: str = "out") -> DataFrame:
     """Continuous-MLE (Hill) estimate of the degree power-law exponent:

@@ -1565,13 +1565,14 @@ def _q_pair_scores_nation(spark, sf_dir):
 
 
 def _q_graph_summary_assort_nation(spark, sf_dir):
-    """One-row graph dashboard with the degree-assortativity coefficient
-    and the power-law degree-exponent MLE cross-joined in (all
-    single-row)."""
-    from .operators.structure import powerlaw_alpha
+    """One-row graph dashboard with the degree-assortativity coefficient,
+    the power-law degree-exponent MLE, and (round 5) the global
+    transitivity 3T/W cross-joined in (all single-row)."""
+    from .operators.structure import powerlaw_alpha, transitivity
+    g = nation_trade_graph(spark, sf_dir)
     return _q_graph_summary_nation(spark, sf_dir).crossJoin(
         _q_assortativity_nation(spark, sf_dir)).crossJoin(
-        powerlaw_alpha(nation_trade_graph(spark, sf_dir)))
+        powerlaw_alpha(g)).crossJoin(transitivity(g))
 
 
 def _q_coloring_seq_nation(spark, sf_dir):
@@ -1645,7 +1646,9 @@ def _q_matching_nation(spark, sf_dir):
 
 def _q_degree_stats_cs(spark, sf_dir):
     """Degree family on the cs graph: top-20 out-degrees, the out-degree
-    histogram, and sink detection, union-tagged as (kind, a, b)."""
+    histogram, sink detection, and (round 5) the rich-club curve
+    phi(k) in ppm, union-tagged as (kind, a, b)."""
+    from .operators.structure import rich_club
     tk = _q_out_degree_topk(spark, sf_dir).select(
         F.lit("topk").alias("kind"), F.col("id").alias("a"),
         F.col("deg").alias("b"))
@@ -1655,7 +1658,10 @@ def _q_degree_stats_cs(spark, sf_dir):
     sk = _q_sinks(spark, sf_dir).select(
         F.lit("sinks").alias("kind"), F.col("id").alias("a"),
         F.lit(-1).cast("long").alias("b"))
-    return tk.unionByName(hs).unionByName(sk)
+    rc = rich_club(cs_graph(spark, sf_dir)).select(
+        F.lit("richclub").alias("kind"), F.col("k").alias("a"),
+        F.col("phi_ppm").alias("b"))
+    return tk.unionByName(hs).unionByName(sk).unionByName(rc)
 
 
 def _q_text_features(spark, sf_dir):
@@ -1866,6 +1872,7 @@ _SQL: dict[str, str] = {
         SELECT id FROM verts
         WHERE id NOT IN (SELECT src FROM ({CS_EDGES_SQL}) WHERE src <> dst)
     """,
+    "rich_club_cs": SQ.rich_club_sql(CS_EDGES_SQL),
     "invert_nation": f"""
         SELECT dst AS src, src AS dst FROM ({NATION_EDGES_SQL})
     """,
@@ -2454,7 +2461,8 @@ ORACLES: dict[str, str] = {
     "graph_summary_nation": (
         f"SELECT * FROM ({_SQL['graph_summary_nation']}) s "
         f"CROSS JOIN ({_SQL['assortativity_nation']}) a "
-        f"CROSS JOIN ({_powerlaw_sql_twin()}) p"),
+        f"CROSS JOIN ({_powerlaw_sql_twin()}) p "
+        f"CROSS JOIN ({SQ.transitivity_sql(NATION_EDGES_SQL)}) t"),
     "modularity_nation": _SQL["modularity_nation"],
     "anf_nation": _SQL["anf_nation"],
     "wl_nation": _SQL["wl_nation"],
@@ -2522,6 +2530,7 @@ ORACLES: dict[str, str] = {
         ("hist", "deg AS a, n_vertices AS b", _SQL["degree_histogram"]),
         ("sinks", "id AS a, CAST(-1 AS BIGINT) AS b",
          _SQL["sink_vertices"]),
+        ("richclub", "k AS a, phi_ppm AS b", _SQL["rich_club_cs"]),
     ], "kind"),
     # ---- training-data pipeline
     "text_features": f"""

@@ -843,6 +843,65 @@ def graph_summary_sql(edges_sql: str, verts_sql: str,
     """
 
 
+def transitivity_sql(edges_sql: str, round_to: int = 8) -> str:
+    """Global clustering coefficient (matches operators.structure
+    .transitivity): 3T/W over the undirected simple graph; the twin counts
+    triangles by the id-ordered (a<b<c) triple join — same exact integer
+    as the engine's degree-ordered orientation."""
+    return f"""
+        WITH u AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                          GREATEST(src, dst) AS b
+                   FROM ({edges_sql}) WHERE src <> dst),
+        ub AS (SELECT a AS v FROM u UNION ALL SELECT b FROM u),
+        deg AS (SELECT v, COUNT(*) AS d FROM ub GROUP BY 1),
+        wg AS (SELECT COALESCE(SUM(d * (d - 1) // 2), 0) AS n_wedges
+               FROM deg),
+        tri AS (SELECT COUNT(*) AS n_triangles
+                FROM u e1 JOIN u e2 ON e1.b = e2.a
+                     JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b)
+        SELECT CAST((SELECT n_wedges FROM wg) AS BIGINT) AS n_wedges,
+               (SELECT n_triangles FROM tri) AS n_triangles,
+               ROUND(3.0 * (SELECT n_triangles FROM tri)
+                     / GREATEST(CAST((SELECT n_wedges FROM wg) AS DOUBLE),
+                                1), {round_to}) AS transitivity
+    """
+
+
+def rich_club_sql(edges_sql: str, scale: int = 1_000_000) -> str:
+    """Rich-club curve (matches operators.structure.rich_club): histogram
+    merge + one cumulative-from-strictly-above window; all-BIGINT
+    phi_ppm."""
+    cum = ("ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING")
+    return f"""
+        WITH u AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                          GREATEST(src, dst) AS b
+                   FROM ({edges_sql}) WHERE src <> dst),
+        ub AS (SELECT a AS v FROM u UNION ALL SELECT b FROM u),
+        deg AS (SELECT v, COUNT(*) AS d FROM ub GROUP BY 1),
+        hd AS (SELECT d AS val, COUNT(*) AS ncnt FROM deg GROUP BY 1),
+        hm AS (SELECT LEAST(da.d, db.d) AS val, COUNT(*) AS ecnt
+               FROM u JOIN deg da ON u.a = da.v
+                      JOIN deg db ON u.b = db.v
+               GROUP BY 1),
+        axis AS (SELECT COALESCE(hd.val, hm.val) AS val,
+                        COALESCE(ncnt, 0) AS ncnt,
+                        COALESCE(ecnt, 0) AS ecnt
+                 FROM hd FULL OUTER JOIN hm ON hd.val = hm.val),
+        curve AS (SELECT val AS k,
+                         CAST(COALESCE(SUM(ncnt) OVER (
+                             ORDER BY val DESC {cum}), 0) AS BIGINT)
+                             AS n_nodes,
+                         CAST(COALESCE(SUM(ecnt) OVER (
+                             ORDER BY val DESC {cum}), 0) AS BIGINT)
+                             AS n_edges
+                  FROM axis)
+        SELECT k, n_nodes, n_edges,
+               (2 * n_edges * {scale}) // (n_nodes * (n_nodes - 1))
+                   AS phi_ppm
+        FROM curve WHERE n_nodes >= 2
+    """
+
+
 def betweenness_sql_twin(edges_sql: str, verts_sql: str,
                          max_depth: int = 12,
                          sources_sql: str | None = None,

@@ -695,3 +695,91 @@ def test_harmonic_sampled_empty_pivots_raises(spark):
     g = from_pairs(spark, [(0, 1)])
     with pytest.raises(ValueError):
         harmonic_sampled(g, keep_num=1, keep_den=97)
+
+
+# ---------------------------------------------------------------- round 5:
+# global transitivity + rich-club curve
+
+def _und_brute(pairs):
+    """Undirected simple edge set (a < b), self-loops dropped."""
+    return {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+
+
+def _transitivity_brute(pairs):
+    from collections import Counter
+    und = _und_brute(pairs)
+    deg = Counter()
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    tri = sum(1 for a, b in und for c in deg
+              if c > b and (a, c) in und and (b, c) in und)
+    return wedges, tri, round(3.0 * tri / max(wedges, 1), 8)
+
+
+def _rich_club_brute(pairs, scale=1_000_000):
+    from collections import Counter
+    und = _und_brute(pairs)
+    deg = Counter()
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    out = {}
+    for k in sorted(set(deg.values())):
+        nodes = {v for v, d in deg.items() if d > k}
+        if len(nodes) < 2:
+            continue
+        ek = sum(1 for a, b in und if a in nodes and b in nodes)
+        out[k] = (len(nodes), ek,
+                  (2 * ek * scale) // (len(nodes) * (len(nodes) - 1)))
+    return out
+
+
+def test_transitivity_known_graphs(spark):
+    from haskellpagerank_spark.operators.structure import transitivity
+
+    # K4: every wedge closed -> C = 1
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    r = transitivity(from_pairs(spark, k4)).first()
+    assert (r["n_wedges"], r["n_triangles"], r["transitivity"]) == (12, 4, 1.0)
+    # star: wedges but no triangle -> C = 0
+    r = transitivity(from_pairs(spark, [(0, i) for i in range(1, 5)])).first()
+    assert (r["n_wedges"], r["n_triangles"], r["transitivity"]) == (6, 0, 0.0)
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_transitivity_matches_brute(spark, name):
+    from haskellpagerank_spark.operators.structure import transitivity
+
+    r = transitivity(from_pairs(spark, FIXTURE_EDGES[name])).first()
+    w, t, c = _transitivity_brute(FIXTURE_EDGES[name])
+    assert (r["n_wedges"], r["n_triangles"], r["transitivity"]) == (w, t, c)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_rich_club_matches_brute_random(spark, seed):
+    """Histogram-window curve == per-threshold brute force on G(n,p)."""
+    import random
+
+    from haskellpagerank_spark.operators.structure import rich_club
+
+    rng = random.Random(seed)
+    pairs = [(rng.randrange(30), rng.randrange(30)) for _ in range(120)]
+    got = {r["k"]: (r["n_nodes"], r["n_edges"], r["phi_ppm"])
+           for r in rich_club(from_pairs(spark, pairs)).collect()}
+    assert got == _rich_club_brute(pairs)
+
+
+def test_rich_club_hub_clique(spark):
+    """Clique of hubs + pendant leaves: the top threshold is fully
+    connected (phi = 1.0 in ppm)."""
+    from haskellpagerank_spark.operators.structure import rich_club
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    leaves = [(v, 10 + 3 * v + i) for v in range(4) for i in range(3)]
+    got = {r["k"]: r for r in
+           rich_club(from_pairs(spark, clique + leaves)).collect()}
+    # leaves have degree 1; hubs degree 6 -> k=1 selects the 4 hubs
+    assert got[1]["n_nodes"] == 4 and got[1]["n_edges"] == 6
+    assert got[1]["phi_ppm"] == 1_000_000
