@@ -349,3 +349,81 @@ def neardup_clusters(docs: DataFrame, text_col: str = "text",
         F.col("component").alias("cluster"),
         (F.col("id") == F.col("component")).cast("bigint")
         .alias("is_canonical"))
+
+
+def sorted_neighborhood_pairs(docs: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id", n: int = 3,
+                              threshold: float = 0.5, window: int = 4,
+                              key_chars: int = 32,
+                              bucket_chars: int = 1) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs (Hernandez & Stolfo, SIGMOD'95
+    merge/purge — public literature): sort the corpus by a normalized text
+    prefix and compare each document only to its ``window`` successors in
+    that order. The third independent blocking family next to prefix
+    blocking (jaccard_pairs_blocked) and MinHash LSH — near-dups whose
+    edits are NOT in the first tokens (where prefix blocking goes blind)
+    still sort adjacently when any long common prefix survives.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard (same
+    n-shingle scorer as the other families, rounded to 6) >= threshold.
+    Deterministic: sort key is (key, doc_id), candidates are exactly the
+    rank-distance-<=window pairs.
+
+    Plan shape (100 TB): the global sort rank is NOT a single-task window —
+    same two-phase scheme as pack_token_shards, except keyed by the key's
+    leading ``bucket_chars`` characters (a prefix of the sort key, so
+    bucket order is consistent with key order): per-bucket counts -> tiny
+    driver cumsum broadcast back -> within-bucket row_number windows.
+    Candidate generation is two equi-joins on the rank band r div window
+    (a band and its successor cover every pair at distance <= window), so
+    each doc meets at most 2*window candidates; the shingle arrays join in
+    by id afterwards. Raise bucket_chars for finer buckets on skewed
+    corpora (all-same-first-word crawls).
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if key_chars < 1 or bucket_chars < 1 or bucket_chars > key_chars:
+        raise ValueError("need 1 <= bucket_chars <= key_chars")
+    from pyspark.sql.window import Window
+
+    key = F.substring(
+        F.lower(F.regexp_replace(F.trim(F.col(text_col)), _WS, " ")),
+        1, key_chars)
+    base = docs.select(F.col(id_col).alias("id"), key.alias("key"),
+                       word_shingles(text_col, n).alias("sh"))
+    keyed = base.select(
+        "id", "key", F.substring("key", 1, bucket_chars).alias("_b"))
+    totals = sorted(
+        (r["_b"], r["cnt"]) for r in
+        keyed.groupBy("_b").agg(F.count(F.lit(1)).alias("cnt")).collect())
+    offs, acc = [], 0
+    for b, cnt in totals:
+        offs.append((b, acc))
+        acc += int(cnt)
+    off_df = F.broadcast(docs.sparkSession.createDataFrame(
+        offs, "_b string, _base long"))
+    win = Window.partitionBy("_b").orderBy("key", "id")
+    ranked = (keyed.join(off_df, "_b")
+              .select("id", (F.col("_base")
+                             + F.row_number().over(win)).alias("rnk"))
+              .localCheckpoint(eager=True))
+    a = ranked.select(F.col("id").alias("id_a"), F.col("rnk").alias("ra"),
+                      F.expr(f"rnk div {window}").alias("band"))
+    b = ranked.select(F.col("id").alias("id_b"), F.col("rnk").alias("rb"),
+                      F.expr(f"rnk div {window}").alias("band"))
+    b_next = b.withColumn("band", F.col("band") - 1)
+    cand = (a.join(b, "band").unionByName(a.join(b_next, "band"))
+            .where((F.col("rb") > F.col("ra"))
+                   & (F.col("rb") <= F.col("ra") + window))
+            .select(F.least("id_a", "id_b").alias("id_a"),
+                    F.greatest("id_a", "id_b").alias("id_b")))
+    sh = base.select("id", "sh")
+    return (cand
+            .join(sh.select(F.col("id").alias("id_a"),
+                            F.col("sh").alias("sh_a")), "id_a")
+            .join(sh.select(F.col("id").alias("id_b"),
+                            F.col("sh").alias("sh_b")), "id_b")
+            .select("id_a", "id_b",
+                    F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+                    .alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))

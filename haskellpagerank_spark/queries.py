@@ -27,6 +27,7 @@ from .operators.components import connected_components, label_propagation
 from .operators.graph import Graph, from_edge_df, invert, out_degrees, sinks
 from .operators.pagerank import PageRankConfig, run_pagerank
 from .operators.triangles import triangle_count
+from .functions.sketches import approx_distinct_sql as _ad_sql
 from .sources.tpch_graph import CS_EDGES_SQL, cs_graph
 from . import sql_twins as SQ
 
@@ -1127,7 +1128,14 @@ def _q_domain_linkgraph(spark, sf_dir):
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).alias("weight"))
     )
-    return rolled
+    # round-5 fold: FM-sketch distinct out-host fan-out per source host
+    # (functions.sketches.approx_distinct) rides along — at web scale this
+    # column costs |hosts| x 8 registers instead of a distinct-pair shuffle
+    from .functions.sketches import approx_distinct
+    fanout = approx_distinct(
+        rolled.select("src_host", "dst_host"), ["src_host"],
+        "dst_host").withColumnRenamed("est_distinct", "est_out_hosts")
+    return rolled.join(fanout, "src_host")
 
 
 def _q_anchor_text_index(spark, sf_dir):
@@ -1690,8 +1698,9 @@ def _q_text_features(spark, sf_dir):
 
 def _q_neardup_pairs(spark, sf_dir):
     """Near-duplicate pair family: blocked n-gram Jaccard, SimHash Hamming
-    pairs, and MinHash+LSH banded pairs, union-tagged as
-    (kind, id_a, id_b, score)."""
+    pairs, MinHash+LSH banded pairs, and (round 5) sorted-neighborhood
+    window pairs, union-tagged as (kind, id_a, id_b, score)."""
+    from .functions.dedup import sorted_neighborhood_pairs
     ja = _q_neardup_jaccard(spark, sf_dir).select(
         F.lit("jaccard").alias("kind"), "id_a", "id_b",
         F.col("jaccard").alias("score"))
@@ -1701,7 +1710,11 @@ def _q_neardup_pairs(spark, sf_dir):
     mh = _q_minhash_lsh(spark, sf_dir).select(
         F.lit("minhash").alias("kind"), "id_a", "id_b",
         F.col("jaccard").alias("score"))
-    return ja.unionByName(sh).unionByName(mh)
+    sn = sorted_neighborhood_pairs(
+        _docs(spark, sf_dir), threshold=0.5, window=4).select(
+        F.lit("sorted").alias("kind"), "id_a", "id_b",
+        F.col("jaccard").alias("score"))
+    return ja.unionByName(sh).unionByName(mh).unionByName(sn)
 
 
 def _q_ann_pairs(spark, sf_dir):
@@ -2062,6 +2075,24 @@ _SQL: dict[str, str] = {
         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
     """,
+    "neardup_sorted": f"""
+        WITH t AS (SELECT doc_id, {TOK_SQL} AS tok,
+                   substring(lower(regexp_replace(trim(text), '\\s+', ' ',
+                                                  'g')), 1, 32) AS key
+                   FROM documents),
+        s AS (SELECT doc_id, key, {_SHINGLES_SQL} AS sh FROM t),
+        r AS (SELECT doc_id, sh,
+                     ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rnk FROM s)
+        SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+               GREATEST(a.doc_id, b.doc_id) AS id_b,
+               ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / (len(a.sh) + len(b.sh)
+                        - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 4
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / (len(a.sh) + len(b.sh)
+                 - len(list_intersect(a.sh, b.sh))) >= 0.5
+    """,
     "embedding_cosine_pairs": """
         WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
                    FROM embeddings)
@@ -2301,10 +2332,17 @@ _SQL: dict[str, str] = {
                    FROM read_parquet(
                        '{SQ.HANDOFF_DIR}/domain_vertices.parquet/*.parquet')),
         e AS (SELECT src, dst FROM read_parquet(
-                  '{SQ.HANDOFF_DIR}/domain_edges.parquet/*.parquet'))
-        SELECT vs.host AS src_host, vd.host AS dst_host, COUNT(*) AS weight
-        FROM e JOIN v vs ON e.src = vs.id JOIN v vd ON e.dst = vd.id
-        GROUP BY 1, 2
+                  '{SQ.HANDOFF_DIR}/domain_edges.parquet/*.parquet')),
+        rolled AS (SELECT vs.host AS src_host, vd.host AS dst_host,
+                          COUNT(*) AS weight
+                   FROM e JOIN v vs ON e.src = vs.id
+                          JOIN v vd ON e.dst = vd.id
+                   GROUP BY 1, 2)
+        SELECT r.src_host, r.dst_host, r.weight,
+               f.est_distinct AS est_out_hosts
+        FROM rolled r JOIN ({_ad_sql(
+            "SELECT src_host, dst_host FROM rolled",
+            ["src_host"], "dst_host")}) f ON r.src_host = f.src_host
     """,
     "multimodal_features": SQ.multimodal_features_sql(),
     "multimodal_resize": SQ.multimodal_resize_sql(8, 8),
@@ -2572,6 +2610,8 @@ ORACLES: dict[str, str] = {
          _SQL["neardup_simhash"]),
         ("minhash", "id_a, id_b, jaccard AS score",
          _SQL["neardup_minhash_lsh"]),
+        ("sorted", "id_a, id_b, jaccard AS score",
+         _SQL["neardup_sorted"]),
     ], "kind"),
     "neardup_clusters": _SQL["neardup_clusters"],
     "ann_pairs": _tagged_union([

@@ -568,3 +568,65 @@ def test_pack_token_shards_rejects_bad_args(corpus):
         pack_token_shards(corpus, budget=0)
     with pytest.raises(ValueError):
         pack_token_shards(corpus, budget=10, bucket_size=0)
+
+
+def _snm_oracle(rows, n=3, threshold=0.5, window=4, key_chars=32):
+    """Brute-force sorted-neighborhood: global (key, id) sort, all pairs
+    within rank distance <= window, same shingle-Jaccard scorer."""
+    import re
+
+    def shingles(t):
+        toks = t.split()
+        if len(toks) >= n:
+            return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+        return {" ".join(toks)}
+
+    keyed = sorted(
+        ((re.sub(r"\s+", " ", t.strip()).lower()[:key_chars], i, shingles(t))
+         for i, t in rows),
+        key=lambda r: (r[0], r[1]))
+    out = {}
+    for x in range(len(keyed)):
+        for y in range(x + 1, min(x + window + 1, len(keyed))):
+            a, b = keyed[x], keyed[y]
+            i, j = (a[1], b[1]) if a[1] < b[1] else (b[1], a[1])
+            inter = len(a[2] & b[2])
+            jac = round(inter / (len(a[2]) + len(b[2]) - inter), 6)
+            if jac >= threshold:
+                out[(i, j)] = jac
+    return out
+
+
+@pytest.mark.parametrize("bucket_chars", [1, 3])
+def test_sorted_neighborhood_matches_oracle(corpus, bucket_chars):
+    rows = [(r["doc_id"], r["text"]) for r in
+            corpus.select("doc_id", "text").collect()]
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in D.sorted_neighborhood_pairs(
+               corpus, threshold=0.3, window=3,
+               bucket_chars=bucket_chars).collect()}
+    assert got == _snm_oracle(rows, threshold=0.3, window=3)
+
+
+def test_sorted_neighborhood_finds_mid_doc_edit(spark):
+    """A near-dup whose edit is in the FIRST tokens defeats prefix
+    blocking but sorts adjacently here (common 30-char prefix after the
+    first words differ is absent — so use suffix-similar docs with same
+    prefix)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base.replace("kappa", "lambda")),
+         (3, "unrelated words entirely different from the others")],
+        "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]) for r in
+           D.sorted_neighborhood_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in got and all(3 not in p for p in got)
+
+
+def test_sorted_neighborhood_rejects_bad_args(corpus):
+    with pytest.raises(ValueError):
+        D.sorted_neighborhood_pairs(corpus, window=0)
+    with pytest.raises(ValueError):
+        D.sorted_neighborhood_pairs(corpus, bucket_chars=0)
+    with pytest.raises(ValueError):
+        D.sorted_neighborhood_pairs(corpus, key_chars=4, bucket_chars=8)
