@@ -28,6 +28,27 @@ LANG_MARKERS: dict[str, list[str]] = {
 _WS = r"\s+"
 
 
+def _total_ngrams(toks, n: int):
+    """Word n-grams of a token array as a TOTAL expression: empty array
+    when the doc is shorter than n tokens. The naive
+    ``transform(sequence(1, size-n+1), i -> slice(toks, i, n))`` is a
+    runtime error on short docs (sequence(1, 0) counts DOWN to [1, 0] and
+    slice rejects start 0) — and an upstream ``where(size >= n)`` does NOT
+    reliably guard it: when a later explode references the gram column
+    more than once, Catalyst's projection collapse re-evaluates this
+    expression in a stage where the filter no longer precedes it
+    (observed on Spark 4.1: filter+select fine, adding
+    size(grams)+explode(grams) crashes on a 2-token doc). A conditional
+    branch is evaluated lazily per row, so totality here is the fix, not
+    the filter."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams) \
+        .otherwise(F.array().cast("array<string>"))
+
+
 def tokens(c: Column | str) -> Column:
     """Whitespace tokenization (split on runs of whitespace, trimmed)."""
     return F.split(F.trim(F.col(c) if isinstance(c, str) else c), _WS)
@@ -155,10 +176,7 @@ def ngram_counts(docs: DataFrame, n: int = 3, min_count: int = 2,
     if n < 1:
         raise ValueError("n must be >= 1")
     toks = tokens(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    grams = _total_ngrams(toks, n)
     return (
         docs.where(F.length(F.trim(F.col(text_col))) > 0)
         .where(F.size(toks) >= n)
@@ -190,10 +208,7 @@ def contamination_overlap(docs: DataFrame, probe: DataFrame, n: int = 5,
     if n < 1:
         raise ValueError("n must be >= 1")
     toks = tokens(text_col)
-    grams = F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    ))
+    grams = F.array_distinct(_total_ngrams(toks, n))
     per_doc = (
         docs.where(F.length(F.trim(F.col(text_col))) > 0)
         .where(F.size(toks) >= n)
@@ -234,10 +249,8 @@ def top_bigram_share(docs: DataFrame, text_col: str = "text",
     if scale < 1:
         raise ValueError("scale must be >= 1")
     toks = tokens(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.lower(F.array_join(F.slice(toks, i, 2), " ")),
-    )
+    grams = F.transform(_total_ngrams(toks, 2),
+                        lambda g: F.lower(g))
     per = (
         docs.where(F.length(F.trim(F.col(text_col))) > 0)
         .where(F.size(toks) >= 2)
@@ -314,3 +327,91 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
         .where(F.col("rnk") <= k)
         .select("doc_id", "term", "tf", "df", "score", "rnk")
     )
+
+
+def _bloom_md5_63(s):
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def bloom_bits(probe: DataFrame, m_bits: int = 1 << 16, k: int = 3,
+               seed: int = 42, ngram_col: str = "ngram") -> DataFrame:
+    """Bloom filter of a probe n-gram set as a (word, bits) relation:
+    word = bit-position div 63, bits = OR of (1 << position mod 63)\n    (63 bits per word: shift 63 overflows DuckDB BIGINT, so bit 63 is\n    never used — same packing in both engines).
+    Positions are md5_63("{seed}|{i}|{ngram}") mod m_bits for i < k —
+    deterministic, so the filter (and therefore every false positive) is
+    bit-identical across engines. At most ceil(m_bits/63) rows regardless of
+    probe size."""
+    if m_bits < 63:
+        raise ValueError("m_bits must be >= 63")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ks = probe.sparkSession.range(k).select(F.col("id").alias("_i"))
+    pos = F.pmod(_bloom_md5_63(F.concat_ws(
+        "|", F.lit(seed).cast("string"), F.col("_i").cast("string"),
+        F.col(ngram_col))), F.lit(m_bits))
+    return (probe.select(ngram_col).distinct()
+            .crossJoin(F.broadcast(ks))
+            .select(pos.alias("_p"))
+            .selectExpr("_p div 63 AS word",
+                        "shiftleft(CAST(1 AS BIGINT), "
+                        "CAST(_p % 63 AS INT)) AS b")
+            .groupBy("word").agg(F.bit_or("b").alias("bits")))
+
+
+def bloom_contamination(docs: DataFrame, probe: DataFrame, n: int = 3,
+                        m_bits: int = 1 << 16, k: int = 3, seed: int = 42,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Contamination screening against a Bloom filter of the benchmark
+    n-gram set — the scale path of ``contamination_overlap``: when the
+    probe set is too large to broadcast exactly (a 10^8-n-gram eval-suite
+    union), broadcast its ceil(m_bits/63)-row Bloom relation instead and screen
+    with k broadcast-join probes per corpus n-gram. One-sided error by
+    construction: every truly-contaminated doc is flagged (no false
+    negatives); false positives occur at the classic (1-e^{-kn/m})^k rate
+    and are DETERMINISTIC here (seeded md5 positions), so the DuckDB twin
+    reproduces them bit-for-bit and the gate stays hash-exact.
+
+    Returns (doc_id, n_overlap, n_ngrams, overlap_frac) for flagged docs
+    only — same shape as contamination_overlap, with n_overlap counting
+    bloom-positive distinct n-grams. Pure Catalyst: explode -> k probes ->
+    broadcast equi-join on word -> per-(doc, ngram) ALL-k-hits check ->
+    per-doc count. The corpus never shuffles on anything wider than the
+    (doc_id, ngram) explode it already pays in the exact path.
+    """
+    from pyspark.sql.functions import broadcast
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    bloom = broadcast(bloom_bits(probe, m_bits, k, seed))
+    toks = tokens(text_col)
+    grams = F.array_distinct(_total_ngrams(toks, n))
+    per_doc = (
+        docs.where(F.length(F.trim(F.col(text_col))) > 0)
+        .where(F.size(toks) >= n)
+        .select(F.col(id_col).alias("doc_id"), grams.alias("grams"))
+        .select("doc_id", F.size("grams").alias("n_ngrams"),
+                F.explode("grams").alias("ngram"))
+    )
+    ks = docs.sparkSession.range(k).select(F.col("id").alias("_i"))
+    pos = F.pmod(_bloom_md5_63(F.concat_ws(
+        "|", F.lit(seed).cast("string"), F.col("_i").cast("string"),
+        F.col("ngram"))), F.lit(m_bits))
+    probes = (per_doc.crossJoin(F.broadcast(ks))
+              .select("doc_id", "n_ngrams", "ngram", pos.alias("_p"))
+              .selectExpr("doc_id", "n_ngrams", "ngram",
+                          "_p div 63 AS word",
+                          "shiftleft(CAST(1 AS BIGINT), "
+                          "CAST(_p % 63 AS INT)) AS b"))
+    hits = (probes.join(bloom, "word", "left")
+            .select("doc_id", "n_ngrams", "ngram",
+                    (F.coalesce("bits", F.lit(0)).bitwiseAND(F.col("b"))
+                     != 0).cast("int").alias("hit"))
+            .groupBy("doc_id", "n_ngrams", "ngram")
+            .agg(F.min("hit").alias("all_hit")))
+    return (hits.where(F.col("all_hit") == 1)
+            .groupBy("doc_id", "n_ngrams")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+            .select("doc_id", "n_overlap",
+                    F.col("n_ngrams").cast("long").alias("n_ngrams"),
+                    F.round(F.col("n_overlap") / F.col("n_ngrams"), 6)
+                    .alias("overlap_frac")))

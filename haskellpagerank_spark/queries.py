@@ -1151,22 +1151,35 @@ def _q_anchor_text_index(spark, sf_dir):
 
 
 def _q_contamination(spark, sf_dir):
-    """Train/eval decontamination: docs with doc_id % 37 == 0 play the
-    benchmark; their distinct trigrams form the probe set (broadcast);
-    every other doc reports its trigram overlap
-    (functions.text.contamination_overlap)."""
-    from .functions.text import contamination_overlap
+    """Train/eval decontamination family, union-tagged
+    (kind, doc_id, n_overlap, n_ngrams, overlap_frac): docs with
+    doc_id % 37 == 0 play the benchmark; their distinct trigrams form the
+    probe set; every other doc reports its trigram overlap.
+
+    - kind='exact' — broadcast the probe set itself
+      (functions.text.contamination_overlap).
+    - kind='bloom' — round 5: broadcast the probe's m/64-row Bloom
+      relation instead (functions.text.bloom_contamination) — the scale
+      path when the eval-suite n-gram union is too large to ship; false
+      positives are md5-deterministic, so the twin reproduces them
+      bit-for-bit.
+    """
+    from .functions.text import (_total_ngrams, bloom_contamination,
+                                 contamination_overlap)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = T.tokens("text")
-    grams = F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.array_join(F.slice(toks, i, 3), " ")))
+    grams = F.array_distinct(_total_ngrams(toks, 3))
     probe = (docs.where(F.col("doc_id") % 37 == 0)
              .where(F.length(F.trim(F.col("text"))) > 0)
              .where(F.size(toks) >= 3)
              .select(F.explode(grams).alias("ngram")).distinct())
-    return contamination_overlap(
-        docs.where(F.col("doc_id") % 37 != 0), probe, n=3)
+    train = docs.where(F.col("doc_id") % 37 != 0)
+    cols = ["doc_id", "n_overlap", "n_ngrams", "overlap_frac"]
+    ex = contamination_overlap(train, probe, n=3).select(
+        F.lit("exact").alias("kind"), *cols)
+    bl = bloom_contamination(train, probe, n=3).select(
+        F.lit("bloom").alias("kind"), *cols)
+    return ex.unionByName(bl)
 
 
 def _q_ngram_counts(spark, sf_dir):
@@ -2269,6 +2282,7 @@ _SQL: dict[str, str] = {
     "tfidf_top_terms": SQ.tfidf_top_terms_sql(3),
     "top_bigram_share": SQ.top_bigram_share_sql(),
     "contamination_trigram": SQ.contamination_sql(3, 37),
+    "contamination_bloom": SQ.bloom_contamination_sql(3, 37),
     "domain_pagerank": ("SELECT vertex AS host, rank FROM ({q})".format(
         q=SQ.weighted_pagerank_sql(f"""
         WITH v AS (SELECT id,
@@ -2601,7 +2615,12 @@ ORACLES: dict[str, str] = {
                  "share_ppm AS score, CAST(1 AS BIGINT) AS rnk",
          _SQL["top_bigram_share"]),
     ], "kind"),
-    "contamination_trigram": _SQL["contamination_trigram"],
+    "contamination_trigram": _tagged_union([
+        ("exact", "doc_id, n_overlap, n_ngrams, overlap_frac",
+         _SQL["contamination_trigram"]),
+        ("bloom", "doc_id, n_overlap, n_ngrams, overlap_frac",
+         _SQL["contamination_bloom"]),
+    ], "kind"),
     "exact_dedup_groups": _SQL["exact_dedup_groups"],
     "neardup_pairs": _tagged_union([
         ("jaccard", "id_a, id_b, jaccard AS score",

@@ -1415,6 +1415,56 @@ def contamination_sql(n: int, probe_mod: int) -> str:
     """
 
 
+def bloom_contamination_sql(n: int, probe_mod: int, m_bits: int = 1 << 16,
+                            k: int = 3, seed: int = 42) -> str:
+    """Bloom-screened contamination twin (matches functions.text
+    .bloom_contamination with the doc_id % probe_mod benchmark probe):
+    same md5 bit positions, same word/bit packing, so every false positive
+    reproduces bit-for-bit."""
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          string_split_regex(trim(text), '\\s+') AS toks
+                   FROM documents WHERE length(trim(text)) > 0),
+        g AS (SELECT doc_id,
+                     list_distinct(list_transform(
+                         range(1, len(toks) - {n - 1} + 1),
+                         i -> array_to_string(toks[i:i+{n - 1}], ' ')))
+                         AS grams
+              FROM t WHERE len(toks) >= {n}),
+        ks AS (SELECT UNNEST(range({k})) AS i),
+        probe AS (SELECT DISTINCT unnest(grams) AS ngram FROM g
+                  WHERE doc_id % {probe_mod} = 0),
+        bloom AS (SELECT p // 63 AS word,
+                         bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT))
+                             AS bits
+                  FROM (SELECT CAST('0x' || substr(md5(
+                            CAST({seed} AS VARCHAR) || '|'
+                            || CAST(ks.i AS VARCHAR) || '|' || p.ngram),
+                            1, 15) AS BIGINT) % {m_bits} AS p
+                        FROM probe p, ks)
+                  GROUP BY 1),
+        ex AS (SELECT doc_id, len(grams) AS n_ngrams, unnest(grams) AS ngram
+               FROM g WHERE doc_id % {probe_mod} <> 0),
+        pr AS (SELECT doc_id, n_ngrams, ngram, p // 63 AS word,
+                      CAST(1 AS BIGINT) << CAST(p % 63 AS INT) AS b
+               FROM (SELECT doc_id, n_ngrams, ngram,
+                            CAST('0x' || substr(md5(
+                                CAST({seed} AS VARCHAR) || '|'
+                                || CAST(ks.i AS VARCHAR) || '|' || ngram),
+                                1, 15) AS BIGINT) % {m_bits} AS p
+                     FROM ex, ks)),
+        hits AS (SELECT doc_id, n_ngrams, ngram,
+                        MIN(CASE WHEN (COALESCE(bits, 0) & b) <> 0
+                                 THEN 1 ELSE 0 END) AS all_hit
+                 FROM pr LEFT JOIN bloom ON pr.word = bloom.word
+                 GROUP BY 1, 2, 3)
+        SELECT doc_id, COUNT(*) AS n_overlap,
+               CAST(n_ngrams AS BIGINT) AS n_ngrams,
+               ROUND(COUNT(*)::DOUBLE / n_ngrams, 6) AS overlap_frac
+        FROM hits WHERE all_hit = 1 GROUP BY doc_id, n_ngrams
+    """
+
+
 def eigenvector_sql(edges_sql: str, verts_sql: str, iters: int,
                     round_to: int = 8) -> str:
     """Unrolled eigenvector-centrality power iteration (matches

@@ -630,3 +630,79 @@ def test_sorted_neighborhood_rejects_bad_args(corpus):
         D.sorted_neighborhood_pairs(corpus, bucket_chars=0)
     with pytest.raises(ValueError):
         D.sorted_neighborhood_pairs(corpus, key_chars=4, bucket_chars=8)
+
+
+def _bloom_oracle(train_rows, probe_ngrams, n=3, m=1 << 16, k=3, seed=42):
+    import hashlib
+
+    def pos(i, g):
+        return int(hashlib.md5(f"{seed}|{i}|{g}".encode())
+                   .hexdigest()[:15], 16) % m
+
+    bloom = set()
+    for g in probe_ngrams:
+        for i in range(k):
+            bloom.add(pos(i, g))
+    out = {}
+    for doc_id, text in train_rows:
+        toks = text.split()
+        if not text.strip() or len(toks) < n:
+            continue
+        grams = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+        hit = sum(1 for g in grams
+                  if all(pos(i, g) in bloom for i in range(k)))
+        if hit:
+            out[doc_id] = (hit, len(grams),
+                           round(hit / len(grams), 6))
+    return out
+
+
+def test_bloom_contamination_matches_oracle_and_dominates_exact(corpus):
+    """Bloom flags == the pure-Python bloom simulation, and (one-sided
+    error) every exactly-contaminated doc is bloom-flagged with
+    n_overlap_bloom >= n_overlap_exact."""
+    probe_docs = [(100, "the quick brown fox jumps over everything")]
+    probe_sdf = corpus.sparkSession.createDataFrame(
+        probe_docs, "doc_id long, text string")
+    grams = T.ngram_counts(probe_sdf, n=3, min_count=1).select("ngram")
+    train_rows = [(r["doc_id"], r["text"]) for r in
+                  corpus.select("doc_id", "text").collect()]
+    probe_ngrams = [r["ngram"] for r in grams.collect()]
+
+    got = {r["doc_id"]: (r["n_overlap"], r["n_ngrams"], r["overlap_frac"])
+           for r in T.bloom_contamination(corpus, grams, n=3).collect()}
+    assert got == _bloom_oracle(train_rows, probe_ngrams)
+
+    exact = {r["doc_id"]: r["n_overlap"] for r in
+             T.contamination_overlap(corpus, grams, n=3).collect()}
+    for d, n_ov in exact.items():
+        assert d in got and got[d][0] >= n_ov
+
+
+def test_bloom_contamination_rejects_bad_args(corpus, spark):
+    probe = spark.createDataFrame([("a b c",)], "ngram string")
+    with pytest.raises(ValueError):
+        T.bloom_contamination(corpus, probe, n=0)
+    with pytest.raises(ValueError):
+        T.bloom_bits(probe, m_bits=10)
+    with pytest.raises(ValueError):
+        T.bloom_bits(probe, k=0)
+
+
+def test_ngram_family_total_on_short_docs(spark):
+    """Regression: docs shorter than n tokens crashed the n-gram builders
+    when Catalyst's projection collapse re-evaluated the slice expression
+    past the size filter (sequence(1, 0) counts DOWN -> slice start 0).
+    The gram expression is now total (empty array branch)."""
+    docs = spark.createDataFrame(
+        [(0, "only two"), (1, "x"), (2, ""), (3, "a proper three token doc")],
+        "doc_id long, text string")
+    probe = spark.createDataFrame(
+        [("proper three token",)], "ngram string")
+    # every builder must simply skip the short docs, not crash
+    assert T.ngram_counts(docs, n=3, min_count=1).count() == 3
+    ex = T.contamination_overlap(docs, probe, n=3).collect()
+    bl = T.bloom_contamination(docs, probe, n=3).collect()
+    assert [r["doc_id"] for r in ex] == [3] == [r["doc_id"] for r in bl]
+    assert {r["doc_id"] for r in
+            T.top_bigram_share(docs).collect()} == {0, 3}
