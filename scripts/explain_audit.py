@@ -548,6 +548,88 @@ def main() -> int:
                   "BroadcastNestedLoopJoin"],
     )
 
+    # ---- round-5 additions ------------------------------------------------
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # tfidf: map-side-combined (doc_id, term) count; the 1-row N scalar
+    # rides a broadcast nested loop (1 row — constant cost by construction)
+    from haskellpagerank_spark.functions.text import (
+        bloom_contamination, ngram_counts, tfidf_top_terms, top_bigram_share)
+    audit(
+        "tfidf_top_terms — one scan, partial agg, bounded window",
+        tfidf_top_terms(docs, k=3),
+        must=["HashAggregate", "Exchange", "Window"],
+        must_not=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+    )
+    audit(
+        "top_bigram_share — partial agg + per-doc top-1 window",
+        top_bigram_share(docs),
+        must=["HashAggregate", "Window"],
+        must_not=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                  "BroadcastNestedLoopJoin"],
+    )
+
+    # shard packing: bucket offsets broadcast back, windows per bucket only
+    from haskellpagerank_spark.functions.pipeline import pack_token_shards
+    audit(
+        "pack_token_shards — broadcast bucket offsets, per-bucket window",
+        pack_token_shards(docs, budget=512),
+        must=["BroadcastHashJoin", "Window"],
+        must_not=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                  "BroadcastNestedLoopJoin"],
+    )
+
+    # sorted-neighborhood: broadcast rank offsets, band equi-joins only
+    # (the rank Window is not visible here: the function eagerly
+    # localCheckpoints the ranked relation, truncating the plan — the
+    # window shape is asserted by pack_token_shards above, which shares
+    # the identical two-phase scheme)
+    from haskellpagerank_spark.functions.dedup import sorted_neighborhood_pairs
+    audit(
+        "sorted_neighborhood_pairs — band equi-joins over checkpointed rank",
+        sorted_neighborhood_pairs(docs, threshold=0.5, window=4),
+        must=["BroadcastHashJoin", "Exchange"],
+        must_not=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                  "BroadcastNestedLoopJoin"],
+    )
+
+    # FM distinct sketch: register bit_or is map-side combined
+    from haskellpagerank_spark.functions.sketches import approx_distinct
+    audit(
+        "approx_distinct — map-side-combined register bit_or",
+        approx_distinct(docs, ["lang"], "doc_id"),
+        must=["partial_bit_or", "Exchange"],
+        must_not=["BatchEvalPython", "ArrowEvalPython"],
+    )
+
+    # bloom contamination: the bloom side joins as a broadcast hash join
+    # (the k-row lane table is a legitimate 3-row BNL)
+    probe = ngram_counts(docs.where("doc_id % 37 = 0"), n=3,
+                         min_count=1).select("ngram")
+    audit(
+        "bloom_contamination — broadcast bloom-word hash join",
+        bloom_contamination(docs.where("doc_id % 37 <> 0"), probe, n=3),
+        must=["BroadcastHashJoin", "HashAggregate"],
+        must_not=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+    )
+
+    # transitivity / rich-club: joins + aggs; rich-club's single-partition
+    # window runs over the distinct-degree axis only (documented small step)
+    from haskellpagerank_spark.operators.structure import (
+        rich_club, transitivity)
+    audit(
+        "transitivity(nation) — catalyst-only 3T/W",
+        transitivity(nation_trade_graph(spark, sf_dir)),
+        must=["HashAggregate"],
+        must_not=["BatchEvalPython", "ArrowEvalPython"],
+    )
+    audit(
+        "rich_club(cs) — histogram merge + axis window",
+        rich_club(cs_graph(spark, sf_dir)),
+        must=["HashAggregate", "Window"],
+        must_not=["BatchEvalPython", "ArrowEvalPython"],
+    )
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"
