@@ -48,11 +48,17 @@ def approx_distinct(df: DataFrame, key_cols: list[str], val_col: str,
     shuffle growth in distinct keys); the only shuffle is the map-side
     combined bit_or keyed (key..., k) — bounded by |keys| x n_sketches
     regardless of group skew, the whole point at 100 TB.
+
+    NULL values are dropped first — the SQL COUNT(DISTINCT) convention,
+    and the only convention both engines can share (Spark's concat_ws
+    skips NULL args while DuckDB's || nulls the whole hash input, so an
+    unfiltered NULL would silently diverge).
     """
     if not key_cols:
         raise ValueError("approx_distinct needs at least one key column")
     if n_sketches < 1:
         raise ValueError("n_sketches must be >= 1")
+    df = df.where(F.col(val_col).isNotNull())
     ks = df.sparkSession.range(n_sketches).select(F.col("id").alias("_k"))
     h = _md5_63(F.concat_ws(
         "|", F.lit(seed).cast("string"), F.col("_k").cast("string"),
@@ -79,7 +85,8 @@ def approx_distinct_sql(table_sql: str, key_cols: list[str], val_expr: str,
     column)."""
     keys = ", ".join(key_cols)
     return f"""
-        WITH base AS ({table_sql}),
+        WITH base AS (SELECT * FROM ({table_sql})
+                      WHERE {val_expr} IS NOT NULL),
         ks AS (SELECT UNNEST(range({n_sketches})) AS k),
         regs AS (
             SELECT {keys}, k,

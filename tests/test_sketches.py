@@ -86,3 +86,25 @@ def test_approx_distinct_rejects_bad_args(spark):
         approx_distinct(df, [], "val")
     with pytest.raises(ValueError):
         approx_distinct(df, ["key"], "val", n_sketches=0)
+
+
+def test_approx_distinct_ignores_nulls(spark):
+    """SQL COUNT(DISTINCT) convention: NULL values contribute nothing —
+    and it is the only convention Spark's concat_ws (skips NULLs) and
+    DuckDB's || (nulls the hash input) can share."""
+    import duckdb
+
+    with_null = spark.createDataFrame(
+        [("k", 1), ("k", 2), ("k", None)], "key string, val long")
+    without = spark.createDataFrame(
+        [("k", 1), ("k", 2)], "key string, val long")
+    a = approx_distinct(with_null, ["key"], "val").first()["est_distinct"]
+    b = approx_distinct(without, ["key"], "val").first()["est_distinct"]
+    assert a == b
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (key VARCHAR, val BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [("k", 1), ("k", 2), ("k", None)])
+    want = con.execute(approx_distinct_sql(
+        "SELECT key, val FROM t", ["key"], "val")).fetchall()
+    assert want[0][1] == a
