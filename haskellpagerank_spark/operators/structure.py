@@ -955,6 +955,36 @@ def strongly_connected_components_auto(g: Graph) -> StructureResult:
     return strongly_connected_components(g)
 
 
+def condensation(g: Graph, scc_labels: DataFrame | None = None) -> DataFrame:
+    """SCC condensation: the component DAG, (comp_src, comp_dst, cnt) with
+    one row per ordered pair of DISTINCT components and cnt = multiplicity
+    of original edges between them. This is the graph the bow-tie /
+    reachability literature actually operates on (Broder et al., WWW 2000
+    — public literature): acyclic by construction, typically orders of
+    magnitude smaller than the crawl, so downstream reachability/toposort
+    runs at component scale.
+
+    ``scc_labels`` (id, scc) defaults to strongly_connected_components_auto
+    — pass a precomputed label table to avoid recomputing (bowtie does the
+    same). Plan: two |E| equi-joins against the |V| label table + one
+    map-side-combined count agg; self-pairs (intra-component edges,
+    including self-loops) drop out via the comp inequality.
+    """
+    if scc_labels is None:
+        scc_labels = strongly_connected_components_auto(g).df
+    lab = scc_labels.select("id", "scc")
+    return (
+        g.edges.select("src", "dst")
+        .join(lab.select(F.col("id").alias("src"),
+                         F.col("scc").alias("comp_src")), "src")
+        .join(lab.select(F.col("id").alias("dst"),
+                         F.col("scc").alias("comp_dst")), "dst")
+        .where(F.col("comp_src") != F.col("comp_dst"))
+        .groupBy("comp_src", "comp_dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 # ---------------------------------------------------------------- k-truss
 
 def k_truss(g: Graph, k: int, max_rounds: int = 1000) -> StructureResult:

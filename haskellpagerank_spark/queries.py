@@ -1651,8 +1651,14 @@ def _q_graph_edges_nation(spark, sf_dir):
     mat = _q_matching_nation(spark, sf_dir).select(
         F.lit("matching").alias("kind"), F.col("src").alias("a"),
         F.col("dst").alias("b"), one.alias("c"))
+    # round-5 fold: SCC condensation (the component DAG with edge
+    # multiplicities — operators.structure.condensation)
+    from .operators.structure import condensation
+    cnd = condensation(nation_trade_graph(spark, sf_dir)).select(
+        F.lit("condense").alias("kind"), F.col("comp_src").alias("a"),
+        F.col("comp_dst").alias("b"), F.col("cnt").alias("c"))
     return inv.unionByName(und).unionByName(amd).unionByName(smp) \
-        .unionByName(frq).unionByName(mat)
+        .unionByName(frq).unionByName(mat).unionByName(cnd)
 
 
 def _q_matching_nation(spark, sf_dir):
@@ -2257,6 +2263,15 @@ _SQL: dict[str, str] = {
                                            NATION_VERTS_SQL),
     "cocitation_nation": SQ.cocitation_sql(NATION_EDGES_SQL, min_common=2),
     "scc_nation": SQ.scc_sql(NATION_EDGES_SQL, NATION_VERTS_SQL),
+    # SCC condensation: composed over the scc twin — (comp_src, comp_dst,
+    # cnt) per ordered pair of distinct components, original multiplicity
+    "condensation_nation": f"""
+        WITH s AS ({SQ.scc_sql(NATION_EDGES_SQL, NATION_VERTS_SQL)}),
+        e AS (SELECT src, dst FROM ({NATION_EDGES_SQL}))
+        SELECT a.scc AS comp_src, b.scc AS comp_dst, COUNT(*) AS cnt
+        FROM e JOIN s a ON e.src = a.id JOIN s b ON e.dst = b.id
+        WHERE a.scc <> b.scc GROUP BY 1, 2
+    """,
     # the auto tier converges to the same schedule-independent labels
     "scc_auto_nation": SQ.scc_sql(NATION_EDGES_SQL, NATION_VERTS_SQL),
     "bowtie_nation": SQ.bowtie_sql(NATION_EDGES_SQL, NATION_VERTS_SQL),
@@ -2576,6 +2591,8 @@ ORACLES: dict[str, str] = {
          _SQL["src_frequency_nation"]),
         ("matching", "src AS a, dst AS b, CAST(1 AS BIGINT) AS c",
          _SQL["matching_nation"]),
+        ("condense", "comp_src AS a, comp_dst AS b, cnt AS c",
+         _SQL["condensation_nation"]),
     ], "kind"),
     "degree_stats_cs": _tagged_union([
         ("topk", "id AS a, deg AS b", _SQL["out_degree_topk"]),

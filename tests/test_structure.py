@@ -783,3 +783,46 @@ def test_rich_club_hub_clique(spark):
     # leaves have degree 1; hubs degree 6 -> k=1 selects the 4 hubs
     assert got[1]["n_nodes"] == 4 and got[1]["n_edges"] == 6
     assert got[1]["phi_ppm"] == 1_000_000
+
+
+def test_condensation_two_cycles_bridge(spark):
+    """Two 3-cycles joined by two parallel bridge edges condense to one
+    DAG edge with multiplicity 2."""
+    from haskellpagerank_spark.operators.structure import condensation
+
+    cyc_a = [(0, 1), (1, 2), (2, 0)]
+    cyc_b = [(10, 11), (11, 12), (12, 10)]
+    bridge = [(0, 10), (2, 11)]
+    got = condensation(from_pairs(spark, cyc_a + cyc_b + bridge)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["cnt"] == 2 and r["comp_src"] != r["comp_dst"]
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_condensation_is_acyclic_and_complete(spark, name):
+    """On every fixture: the condensation has no intra-component edges,
+    its edge multiplicities sum to the number of inter-component edges,
+    and it is a DAG (re-running SCC on it yields all-singleton
+    components)."""
+    from haskellpagerank_spark.operators.structure import (
+        condensation, strongly_connected_components_auto)
+
+    g = from_pairs(spark, FIXTURE_EDGES[name])
+    labels = strongly_connected_components_auto(g).df
+    lab = {r["id"]: r["scc"] for r in labels.collect()}
+    got = {(r["comp_src"], r["comp_dst"]): r["cnt"]
+           for r in condensation(g, labels).collect()}
+    want = {}
+    for s, d in FIXTURE_EDGES[name]:
+        cs, cd = lab[s], lab[d]
+        if cs != cd:
+            want[(cs, cd)] = want.get((cs, cd), 0) + 1
+    assert got == want
+    if got:
+        dag = from_pairs(spark, sorted(got))
+        relabel = strongly_connected_components_auto(dag).df.collect()
+        comps = {}
+        for r in relabel:
+            comps.setdefault(r["scc"], []).append(r["id"])
+        assert all(len(v) == 1 for v in comps.values())
