@@ -119,3 +119,105 @@ def test_truss_core_inequality_random(seed):
     core = oracle.coreness(src, dst, n)
     for (u, v), k in tau.items():
         assert core[u] >= k - 1 and core[v] >= k - 1, (u, v, k)
+
+
+# -------------------------------------------------------------- round-5
+# text-family folds: the DuckDB twins vs pure-Python oracles on RANDOM
+# corpora (documents view registered ad hoc; includes 0/1/2-token docs to
+# pin the n-gram totality fix on the SQL side too)
+
+_VOCAB = ("the spark query table row scan join agg sort key value fast "
+          "slow big small data line batch stream").split()
+
+
+def _random_corpus(seed, n_docs_hi=30):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(rng.randint(10, n_docs_hi)):
+        n_words = rng.choice([0, 1, 2, 3, 5, 8, 13, 21, 34])
+        rows.append((i, " ".join(rng.choice(_VOCAB)
+                                 for _ in range(n_words))))
+    return rows
+
+
+def _register_documents(rows):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    return con
+
+
+@pytest.mark.parametrize("seed", range(30, 36))
+def test_tfidf_twin_matches_python_oracle_random(seed):
+    import test_functions as TF
+
+    rows = _random_corpus(seed)
+    con = _register_documents(rows)
+    got = sorted(map(tuple, con.execute(
+        SQ.tfidf_top_terms_sql(3)).fetchall()))
+    assert got == TF._tfidf_oracle(rows, 3)
+
+
+@pytest.mark.parametrize("seed", range(36, 42))
+def test_top_bigram_twin_matches_python_oracle_random(seed):
+    rows = _random_corpus(seed)
+    con = _register_documents(rows)
+    got = {r[0]: (r[1], r[2], r[3], r[4]) for r in con.execute(
+        SQ.top_bigram_share_sql()).fetchall()}
+    from collections import Counter
+    want = {}
+    for i, t in rows:
+        toks = t.split()
+        if len(toks) < 2:
+            continue
+        c = Counter(" ".join(toks[j:j + 2]).lower()
+                    for j in range(len(toks) - 1))
+        gram, cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        want[i] = (gram, cnt, len(toks),
+                   (2 * cnt * 1_000_000) // len(toks))
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", range(42, 48))
+def test_pack_shards_twin_matches_python_oracle_random(seed):
+    import test_functions as TF
+    from haskellpagerank_spark.queries import _SQL
+
+    rows = _random_corpus(seed)
+    con = _register_documents(rows)
+    got = {r[0]: (r[1], r[2], r[3], r[4]) for r in con.execute(
+        _SQL["pack_shards"]).fetchall()}
+    want = {i: v for i, v in TF._pack_oracle(rows, 512).items()}
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", range(48, 54))
+def test_sorted_neighborhood_twin_matches_python_oracle_random(seed):
+    import test_functions as TF
+    from haskellpagerank_spark.queries import _SQL
+
+    rows = _random_corpus(seed)
+    con = _register_documents(rows)
+    got = {(r[0], r[1]): r[2] for r in con.execute(
+        _SQL["neardup_sorted"]).fetchall()}
+    assert got == TF._snm_oracle(rows, n=3, threshold=0.5, window=4,
+                                 key_chars=32)
+
+
+@pytest.mark.parametrize("seed", range(54, 58))
+def test_bloom_contamination_twin_matches_python_oracle_random(seed):
+    import test_functions as TF
+
+    rows = _random_corpus(seed)
+    con = _register_documents(rows)
+    got = {r[0]: (r[1], r[2], r[3]) for r in con.execute(
+        SQ.bloom_contamination_sql(3, 7)).fetchall()}
+    probe_ngrams = set()
+    for i, t in rows:
+        toks = t.split()
+        if i % 7 == 0 and t.strip() and len(toks) >= 3:
+            probe_ngrams.update(" ".join(toks[j:j + 3])
+                                for j in range(len(toks) - 2))
+    train = [(i, t) for i, t in rows if i % 7 != 0]
+    want = TF._bloom_oracle(train, probe_ngrams, n=3)
+    assert got == want
