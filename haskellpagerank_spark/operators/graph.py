@@ -159,6 +159,22 @@ def degree_histogram(g: Graph) -> DataFrame:
     )
 
 
+def degree_ccdf(g: Graph) -> DataFrame:
+    """(deg, n_ge) — the complementary cumulative degree distribution:
+    number of vertices with out-degree >= deg, one row per observed
+    degree. THE curve behind every web-graph power-law plot (log-log CCDF
+    is the standard presentation; binning-free, unlike the pdf histogram).
+    One cumulative window over the histogram axis (<= max-degree rows —
+    a deliberately tiny single-partition step, same rationale as
+    rich_club's axis window); all-BIGINT."""
+    from pyspark.sql.window import Window
+
+    w = (Window.orderBy(F.col("deg").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (degree_histogram(g)
+            .select("deg", F.sum("n_vertices").over(w).alias("n_ge")))
+
+
 def src_frequencies(edges: DataFrame) -> DataFrame:
     """(src, n) — occurrence count per *present* source, ascending src.
 

@@ -1688,7 +1688,12 @@ def _q_degree_stats_cs(spark, sf_dir):
     rc = rich_club(cs_graph(spark, sf_dir)).select(
         F.lit("richclub").alias("kind"), F.col("k").alias("a"),
         F.col("phi_ppm").alias("b"))
-    return tk.unionByName(hs).unionByName(sk).unionByName(rc)
+    from .operators.graph import degree_ccdf
+    cc = degree_ccdf(cs_graph(spark, sf_dir)).select(
+        F.lit("ccdf").alias("kind"), F.col("deg").alias("a"),
+        F.col("n_ge").alias("b"))
+    return tk.unionByName(hs).unionByName(sk).unionByName(rc) \
+        .unionByName(cc)
 
 
 def _q_text_features(spark, sf_dir):
@@ -1905,6 +1910,18 @@ _SQL: dict[str, str] = {
         WHERE id NOT IN (SELECT src FROM ({CS_EDGES_SQL}) WHERE src <> dst)
     """,
     "rich_club_cs": SQ.rich_club_sql(CS_EDGES_SQL),
+    # CCDF over the out-degree histogram; HUGEINT windowed SUM cast back
+    "degree_ccdf_cs": f"""
+        WITH verts AS ({CS_VERTS_SQL}),
+        deg AS (SELECT src AS id, COUNT(*) AS deg FROM ({CS_EDGES_SQL})
+                WHERE src <> dst GROUP BY 1),
+        h AS (SELECT COALESCE(d.deg, 0) AS deg, COUNT(*) AS n_vertices
+              FROM verts v LEFT JOIN deg d ON v.id = d.id GROUP BY 1)
+        SELECT deg, CAST(SUM(n_vertices) OVER (ORDER BY deg DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS n_ge
+        FROM h
+    """,
     "invert_nation": f"""
         SELECT dst AS src, src AS dst FROM ({NATION_EDGES_SQL})
     """,
@@ -2600,6 +2617,7 @@ ORACLES: dict[str, str] = {
         ("sinks", "id AS a, CAST(-1 AS BIGINT) AS b",
          _SQL["sink_vertices"]),
         ("richclub", "k AS a, phi_ppm AS b", _SQL["rich_club_cs"]),
+        ("ccdf", "deg AS a, n_ge AS b", _SQL["degree_ccdf_cs"]),
     ], "kind"),
     # ---- training-data pipeline
     "text_features": f"""

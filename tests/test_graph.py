@@ -129,3 +129,20 @@ def test_src_frequencies_counts_duplicates(spark):
         [(4, 5), (4, 5), (4, 6), (7, 4)], schema="src LONG, dst LONG")
     rows = G.src_frequencies(df).orderBy("src").collect()
     assert [(r["src"], r["n"]) for r in rows] == [(4, 3), (7, 1)]
+
+
+def test_degree_ccdf_matches_histogram(spark):
+    """CCDF(deg) = sum of histogram counts for degrees >= deg; CCDF at the
+    minimum observed degree equals |V|."""
+    from haskellpagerank_spark.operators.graph import (
+        degree_ccdf, degree_histogram, from_pairs)
+
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 3), (4, 0)]
+    g = from_pairs(spark, pairs)
+    hist = {r["deg"]: r["n_vertices"]
+            for r in degree_histogram(g).collect()}
+    got = {r["deg"]: r["n_ge"] for r in degree_ccdf(g).collect()}
+    assert set(got) == set(hist)
+    for d in hist:
+        assert got[d] == sum(v for k, v in hist.items() if k >= d)
+    assert got[min(hist)] == sum(hist.values()) == g.num_vertices
