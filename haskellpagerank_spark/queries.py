@@ -1688,12 +1688,20 @@ def _q_degree_stats_cs(spark, sf_dir):
     rc = rich_club(cs_graph(spark, sf_dir)).select(
         F.lit("richclub").alias("kind"), F.col("k").alias("a"),
         F.col("phi_ppm").alias("b"))
-    from .operators.graph import degree_ccdf
+    from .operators.graph import degree_ccdf, invert
     cc = degree_ccdf(cs_graph(spark, sf_dir)).select(
         F.lit("ccdf").alias("kind"), F.col("deg").alias("a"),
         F.col("n_ge").alias("b"))
+    # round-5 fold: IN-degree top-20 (authority side — the distribution
+    # web analysis actually ranks by), via the existing invert operator
+    gi = cs_graph(spark, sf_dir)
+    from .operators.graph import Graph
+    g_inv = Graph(edges=invert(gi.edges), num_vertices=gi.num_vertices)
+    it = (out_degrees(g_inv).orderBy(F.desc("deg"), F.asc("id")).limit(20)
+          .select(F.lit("in_topk").alias("kind"), F.col("id").alias("a"),
+                  F.col("deg").alias("b")))
     return tk.unionByName(hs).unionByName(sk).unionByName(rc) \
-        .unionByName(cc)
+        .unionByName(cc).unionByName(it)
 
 
 def _q_text_features(spark, sf_dir):
@@ -1892,6 +1900,14 @@ _SQL: dict[str, str] = {
     "out_degree_topk": f"""
         WITH verts AS ({CS_VERTS_SQL}),
         deg AS (SELECT src AS id, COUNT(*) AS deg FROM ({CS_EDGES_SQL})
+                WHERE src <> dst GROUP BY 1)
+        SELECT v.id, COALESCE(d.deg, 0) AS deg
+        FROM verts v LEFT JOIN deg d ON v.id = d.id
+        ORDER BY deg DESC, v.id ASC LIMIT 20
+    """,
+    "in_degree_topk": f"""
+        WITH verts AS ({CS_VERTS_SQL}),
+        deg AS (SELECT dst AS id, COUNT(*) AS deg FROM ({CS_EDGES_SQL})
                 WHERE src <> dst GROUP BY 1)
         SELECT v.id, COALESCE(d.deg, 0) AS deg
         FROM verts v LEFT JOIN deg d ON v.id = d.id
@@ -2618,6 +2634,7 @@ ORACLES: dict[str, str] = {
          _SQL["sink_vertices"]),
         ("richclub", "k AS a, phi_ppm AS b", _SQL["rich_club_cs"]),
         ("ccdf", "deg AS a, n_ge AS b", _SQL["degree_ccdf_cs"]),
+        ("in_topk", "id AS a, deg AS b", _SQL["in_degree_topk"]),
     ], "kind"),
     # ---- training-data pipeline
     "text_features": f"""
